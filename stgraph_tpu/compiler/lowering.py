@@ -1,0 +1,147 @@
+"""Lowering: traced IR Programs → pure JAX functions over CSR graphs.
+
+The TPU replacement for the reference's entire backend half:
+``autodiff.py`` (JAX differentiates the lowered function), ``passes/fusion``
+(XLA fuses elementwise chains; the SpMM peephole below routes whole
+edge-multiply-aggregate patterns into one fused kernel), ``code_gen/`` (no
+codegen — the lowered function *is* the program), and ``executor.py`` (no
+executor — ``jit`` is the executor).
+
+Domain materialization rules (see ``ir.ValType``):
+
+  * SRC/DEST statements evaluate on (N, ...) node arrays;
+  * EDGE statements evaluate on (capacity, ...) edge arrays, with node
+    operands gathered through ``csr.cols`` (SRC) / ``csr.rows`` (DEST) —
+    exactly the index expressions the reference's ``KernelContext`` emits
+    per val_type (``code_gen/kernel_context.py:23-42``);
+  * aggregations segment-reduce edge arrays into DEST node arrays.
+
+The **SpMM peephole** recognizes ``AggSum(Mul-chain)`` where the chain
+contains exactly one "wide" SRC feature and any number of per-edge scalar
+factors, and emits ``ops.spmm`` so the dense-adjacency MXU path or the
+Pallas blocked-CSR kernel can take it — this is the moral equivalent of the
+reference's NEAN fused kernel plus its sympy peephole
+(``passes/fusion.py``, ``passes/peephole.py``), done at lowering time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from stgraph_tpu.compiler.ir import Program, Stmt, ValType, Var
+from stgraph_tpu.compiler.tracer import TraceResult
+from stgraph_tpu.graph.csr import CSR
+from stgraph_tpu.ops import message as M
+
+__all__ = ["lower"]
+
+
+def lower(tr: TraceResult, impl: str = "auto") -> Callable:
+    """Build ``fn(csr, n_feats, e_feats) -> array`` from a trace."""
+    prog, out_var = tr.program, tr.output
+    param_values = tr.param_values
+
+    def fn(csr: CSR, n_feats: Dict[str, Any], e_feats: Dict[str, Any]):
+        env: Dict[int, Any] = {}
+        edge_env: Dict[int, Any] = {}  # per-var cache of edge-domain arrays
+
+        def bind_leaf(v: Var) -> Any:
+            kind, _, name = v.leaf.partition(":")
+            if kind in ("src", "dst"):
+                return jnp.asarray(n_feats[name])
+            if kind == "edge":
+                e = jnp.asarray(e_feats[name])
+                e = _pad_edges(e, csr.capacity)
+                return M.edge_data_to_csr_order(csr, e)
+            if kind == "param":
+                return param_values[v.leaf]
+            raise KeyError(v.leaf)
+
+        def node_val(v: Var) -> Any:
+            if v.id not in env:
+                if v.leaf is None:
+                    raise RuntimeError(f"unmaterialized var {v}")
+                env[v.id] = bind_leaf(v)
+            return env[v.id]
+
+        def as_edge(v: Var) -> Any:
+            if v.val_type == ValType.EDGE:
+                return node_val(v)
+            if v.id in edge_env:
+                return edge_env[v.id]
+            arr = node_val(v)
+            if v.val_type == ValType.SRC:
+                arr = arr[csr.cols]
+            elif v.val_type == ValType.DEST:
+                arr = arr[csr.rows]
+            # PARAM: broadcasts as-is.
+            edge_env[v.id] = arr
+            return arr
+
+        for stmt in prog.stmts:
+            if stmt.op.startswith("Agg"):
+                val = _lower_agg(stmt, csr, as_edge, node_val, impl)
+            elif stmt.ret.val_type == ValType.EDGE:
+                val = stmt.fn(*[as_edge(a) for a in stmt.args], **stmt.kwargs)
+            else:
+                val = stmt.fn(*[node_val(a) for a in stmt.args], **stmt.kwargs)
+            env[stmt.ret.id] = val
+
+        return node_val(out_var)
+
+    return fn
+
+
+def _pad_edges(e: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Pad user-order edge data to CSR capacity with zeros."""
+    if e.shape[0] == capacity:
+        return e
+    pad = [(0, capacity - e.shape[0])] + [(0, 0)] * (e.ndim - 1)
+    return jnp.pad(e, pad)
+
+
+def _mul_chain_factors(v: Var) -> List[Var]:
+    """Flatten a Mul tree rooted at ``v`` into its leaf factors."""
+    stmt = v.producer
+    if stmt is not None and stmt.op == "Mul":
+        out: List[Var] = []
+        for a in stmt.args:
+            out.extend(_mul_chain_factors(a))
+        return out
+    return [v]
+
+
+def _lower_agg(
+    stmt: Stmt,
+    csr: CSR,
+    as_edge: Callable,
+    node_val: Callable,
+    impl: str,
+):
+    (arg,) = stmt.args
+    reduce = stmt.kwargs["reduce"]
+
+    if reduce == "sum":
+        factors = _mul_chain_factors(arg)
+        wide = [
+            f
+            for f in factors
+            if f.val_type == ValType.SRC and len(f.shape) >= 1 and f.shape[-1] > 1
+        ]
+        wide_ids = {f.id for f in wide}
+        narrow = [f for f in factors if f.id not in wide_ids]
+        narrow_ok = all(
+            f.val_type == ValType.PARAM or len(f.shape) == 0 or f.shape[-1] == 1
+            for f in narrow
+        )
+        if len(wide) == 1 and narrow_ok:
+            feat = node_val(wide[0])
+            w = None
+            for f in narrow:
+                fe = as_edge(f)
+                w = fe if w is None else w * fe
+            return M.spmm(csr, feat, edge_weight=w, reduce="sum", impl=impl)
+
+    return M.aggregate(csr, as_edge(arg), reduce=reduce, masked=True)

@@ -1,0 +1,91 @@
+"""Graph Attention Network layer with fused segment-softmax attention.
+
+Re-design of the reference ``stgraph/nn/pytorch/static/gat_conv.py``: the
+per-head projections and el/er scores run dense on the MXU; the vertex
+program fuses SDDMM score, *numerically-stable* segment softmax, and the
+weighted aggregation.
+
+Deliberate semantic fix vs the reference: its traced ``max(embs)``
+(``gat_conv.py:50``) is a no-op because ``embs`` holds a single symbolic
+neighbor (``compiler/node.py:23``) — Python's builtin ``max`` of a
+one-element list returns the element, so the reference kernel computes
+``exp(leaky_relu(0)) = 1`` per edge, i.e. mean aggregation. Here
+``dsl.agg_max`` is a true segment max and the layer computes the real GAT
+softmax ``softmax_dst(leaky_relu(el_src + er_dst))``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from stgraph_tpu.compiler import STGraph, dsl
+
+__all__ = ["GATConv"]
+
+
+class GATConv(fnn.Module):
+    in_feats: int
+    out_feats: int
+    num_heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    activation: Optional[Callable] = None
+    impl: str = "auto"
+
+    @fnn.compact
+    def __call__(
+        self, graph, feat: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        fc = fnn.Dense(
+            self.out_feats * self.num_heads,
+            use_bias=False,
+            kernel_init=fnn.initializers.xavier_normal(),
+            name="fc",
+        )
+        attn_l = self.param(
+            "attn_l",
+            fnn.initializers.xavier_normal(),
+            (1, self.num_heads, self.out_feats),
+            feat.dtype,
+        )
+        attn_r = self.param(
+            "attn_r",
+            fnn.initializers.xavier_normal(),
+            (1, self.num_heads, self.out_feats),
+            feat.dtype,
+        )
+
+        h = fnn.Dropout(self.feat_drop, deterministic=deterministic)(feat)
+        feat_src = fc(h).reshape(-1, self.num_heads, self.out_feats)
+        # Per-head scalar scores (N, H, 1): the halves of the GAT logit.
+        el = jnp.sum(feat_src * attn_l, axis=-1, keepdims=True)
+        er = jnp.sum(feat_src * attn_r, axis=-1, keepdims=True)
+
+        negative_slope = self.negative_slope
+        stgraph = STGraph()
+
+        @stgraph.compile(gnn_module=self, impl=self.impl)
+        def nb_forward(v):
+            # leaky_relu before the stability shift, matching DGL/paper.
+            embs = [
+                dsl.leaky_relu(nb.el + v.er, negative_slope=negative_slope)
+                for nb in v.innbs
+            ]
+            m = dsl.agg_max(embs)
+            coeff = [dsl.exp(emb - m) for emb in embs]
+            s = dsl.agg_sum(coeff)
+            alpha = [c / s for c in coeff]
+            feat_srcs = [nb.feat_src for nb in v.innbs]
+            return sum([alpha[i] * feat_srcs[i] for i in range(len(feat_srcs))])
+
+        rst = nb_forward(
+            graph, n_feats={"el": el, "er": er, "feat_src": feat_src}
+        )
+
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst

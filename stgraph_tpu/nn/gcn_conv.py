@@ -1,0 +1,111 @@
+"""Graph Convolutional Network layer (Kipf & Welling) on the vertex frontend.
+
+API-parity port of the reference ``stgraph/nn/pytorch/static/gcn_conv.py``:
+the dense projection runs on the MXU outside the vertex program, and the
+aggregation is the traced one-liner
+
+    ``sum([nb.h * nb.norm for nb in v.innbs]) * v.norm``
+
+(reference ``gcn_conv.py:163-164``; weighted variant ``:170-176``). The
+lowering's SpMM peephole turns that whole formula into one fused
+(dense-adjacency or blocked-CSR Pallas) aggregation kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from stgraph_tpu.compiler import STGraph
+from stgraph_tpu.utils.norm import symmetric_norm
+
+__all__ = ["GCNConv"]
+
+
+class GCNConv(fnn.Module):
+    """One GCN layer: ``act(norm·A·norm · (h W) + b)``.
+
+    Attributes:
+      in_feats / out_feats: dense projection shape.
+      activation: optional elementwise activation applied outside the kernel
+        (reference applies bias/activation outside too, ``gcn_conv.py:185-189``).
+      use_bias: add a learned (out_feats,) bias.
+      impl: aggregation backend — 'auto' | 'jnp' | 'dense' | 'pallas'.
+    """
+
+    in_feats: int
+    out_feats: int
+    activation: Optional[Callable] = None
+    use_bias: bool = True
+    impl: str = "auto"
+
+    @fnn.compact
+    def __call__(self, graph, h: jnp.ndarray, edge_weight=None) -> jnp.ndarray:
+        weight = self.param(
+            "weight",
+            fnn.initializers.xavier_uniform(),
+            (self.in_feats, self.out_feats),
+            h.dtype,
+        )
+        norm = _get_norm(graph)
+        h = jnp.dot(h, weight, preferred_element_type=jnp.float32).astype(h.dtype)
+
+        stgraph = STGraph()
+        if edge_weight is None:
+
+            @stgraph.compile(gnn_module=self, impl=self.impl)
+            def nb_compute(v):
+                return sum([nb.h * nb.norm for nb in v.innbs]) * v.norm
+
+            h = nb_compute(graph, n_feats={"norm": norm, "h": h})
+        else:
+            edge_weight = jnp.asarray(edge_weight)
+            if edge_weight.ndim == 1:
+                edge_weight = edge_weight[:, None]
+
+            @stgraph.compile(gnn_module=self, impl=self.impl)
+            def nb_compute(v):
+                return (
+                    sum(
+                        [
+                            nb_edge.src.norm * nb_edge.src.h * nb_edge.edge_weight
+                            for nb_edge in v.inedges
+                        ]
+                    )
+                    * v.norm
+                )
+
+            h = nb_compute(
+                graph,
+                n_feats={"norm": norm, "h": h},
+                e_feats={"edge_weight": edge_weight},
+            )
+
+        if self.use_bias:
+            bias = self.param(
+                "bias", fnn.initializers.zeros_init(), (self.out_feats,), h.dtype
+            )
+            h = h + bias
+        if self.activation is not None:
+            h = self.activation(h)
+        return h
+
+
+def _get_norm(graph) -> jnp.ndarray:
+    """Fetch the (N, 1) symmetric-normalization vector.
+
+    The reference requires users to precompute ``norm`` ndata
+    (``gcn_conv.py:151-156``); we honor that but compute the standard
+    ``deg^{-1/2}`` automatically when absent.
+    """
+    norm = None
+    if hasattr(graph, "get_ndata"):
+        norm = graph.get_ndata("norm")
+    if norm is None:
+        norm = symmetric_norm(graph)
+    norm = jnp.asarray(norm)
+    if norm.ndim != 2 or norm.shape[1] != 1:
+        raise ValueError("node data 'norm' must have shape (num_nodes, 1)")
+    return norm

@@ -1,0 +1,118 @@
+"""Dynamic graphs: delta preprocessing, NaiveGraph, DeltaGraph equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stgraph_tpu.graph import DeltaGraph, NaiveGraph
+from stgraph_tpu.graph.dynamic_graph import preprocess_deltas
+from stgraph_tpu.ops import message as M
+
+
+def _random_snapshots(rng, n=20, t=5, base=40, churn=8):
+    """Random evolving edge sets with adds and deletes per step."""
+    current = set()
+    while len(current) < base:
+        current.add((int(rng.integers(0, n)), int(rng.integers(0, n))))
+    snaps = [sorted(current)]
+    for _ in range(t - 1):
+        cur = set(current)
+        for _ in range(churn):
+            if cur and rng.random() < 0.5:
+                cur.remove(sorted(cur)[int(rng.integers(0, len(cur)))])
+            cur.add((int(rng.integers(0, n)), int(rng.integers(0, n))))
+        snaps.append(sorted(cur))
+        current = cur
+    return snaps
+
+
+def test_preprocess_deltas_roundtrip(rng):
+    snaps = _random_snapshots(rng)
+    deltas = preprocess_deltas(snaps)
+    cur = set()
+    for t, d in enumerate(deltas):
+        cur |= {tuple(e) for e in d["add"]}
+        cur -= {tuple(e) for e in d["delete"]}
+        assert cur == {tuple(e) for e in np.asarray(snaps[t])}
+
+
+def test_naive_graph_snapshots(rng):
+    snaps = _random_snapshots(rng)
+    g = NaiveGraph(snaps)
+    assert g.num_timestamps == len(snaps)
+    for t, edges in enumerate(snaps):
+        csr = g.get_graph(t)
+        assert int(csr.num_edges) == len(edges)
+        pairs = set(
+            zip(
+                np.asarray(csr.cols)[: len(edges)].tolist(),
+                np.asarray(csr.rows)[: len(edges)].tolist(),
+            )
+        )
+        assert pairs == {tuple(e) for e in edges}
+
+
+def test_delta_graph_matches_naive(rng):
+    snaps = _random_snapshots(rng)
+    ng = NaiveGraph(snaps)
+    dg = DeltaGraph(snaps)
+    for t in range(len(snaps)):
+        nc, dc = ng.get_graph(t), dg.get_graph(t)
+        e = int(nc.num_edges)
+        assert int(dc.num_edges) == e
+        np_pairs = set(
+            zip(np.asarray(nc.rows)[:e].tolist(), np.asarray(nc.cols)[:e].tolist())
+        )
+        dg_rows = np.asarray(dc.rows)
+        dg_cols = np.asarray(dc.cols)
+        valid = dg_rows < dc.num_nodes
+        dg_pairs = set(zip(dg_rows[valid].tolist(), dg_cols[valid].tolist()))
+        assert np_pairs == dg_pairs
+
+
+def test_delta_graph_spmm_matches_naive(rng):
+    snaps = _random_snapshots(rng)
+    ng = NaiveGraph(snaps)
+    dg = DeltaGraph(snaps)
+    n = ng.get_num_nodes()
+    h = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    for t in range(len(snaps)):
+        a = np.asarray(M.spmm(ng.get_graph(t), h, impl="jnp"))
+        b = np.asarray(M.spmm(dg.get_graph(t), h, impl="jnp"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_scan_over_snapshots(rng):
+    """lax.scan over stacked snapshots == python loop over snapshots."""
+    snaps = _random_snapshots(rng)
+    ng = NaiveGraph(snaps)
+    n = ng.get_num_nodes()
+    h = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    stacked = ng.stacked()
+
+    def body(carry, csr_t):
+        out = M.spmm(csr_t, carry, impl="jnp")
+        return carry, out
+
+    _, outs = jax.lax.scan(body, h, stacked)
+    for t in range(len(snaps)):
+        ref = np.asarray(M.spmm(ng.get_graph(t), h, impl="jnp"))
+        np.testing.assert_allclose(np.asarray(outs[t]), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_transpose_of_snapshot(rng):
+    snaps = _random_snapshots(rng)
+    dg = DeltaGraph(snaps)
+    t = len(snaps) - 1
+    fwd, bwd = dg.get_graph(t), dg.get_backward_graph(t)
+    e = int(fwd.num_edges)
+    f_pairs = set(
+        zip(np.asarray(fwd.rows)[:e].tolist(), np.asarray(fwd.cols)[:e].tolist())
+    )
+    b_rows = np.asarray(bwd.rows)
+    valid = b_rows < bwd.num_nodes
+    b_pairs = set(
+        zip(np.asarray(bwd.cols)[valid].tolist(), b_rows[valid].tolist())
+    )
+    assert f_pairs == b_pairs
