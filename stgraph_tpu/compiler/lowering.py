@@ -26,7 +26,7 @@ reference's NEAN fused kernel plus its sympy peephole
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -35,15 +35,29 @@ from stgraph_tpu.compiler.tracer import TraceResult
 from stgraph_tpu.graph.csr import CSR
 from stgraph_tpu.ops import message as M
 
-__all__ = ["lower"]
+__all__ = ["GraphView", "lower"]
+
+
+class GraphView(NamedTuple):
+    """Everything the lowered program may need about the graph: the forward
+    CSR, its transpose (for fused-VJP kernels), and the host-precomputed
+    Pallas blocked layouts when available."""
+
+    csr: CSR
+    csr_t: Optional[CSR] = None
+    blocked: Any = None
+    blocked_t: Any = None
 
 
 def lower(tr: TraceResult, impl: str = "auto") -> Callable:
-    """Build ``fn(csr, n_feats, e_feats) -> array`` from a trace."""
+    """Build ``fn(graph_view, n_feats, e_feats) -> array`` from a trace."""
     prog, out_var = tr.program, tr.output
     param_values = tr.param_values
 
-    def fn(csr: CSR, n_feats: Dict[str, Any], e_feats: Dict[str, Any]):
+    def fn(gv: GraphView, n_feats: Dict[str, Any], e_feats: Dict[str, Any]):
+        if isinstance(gv, CSR):
+            gv = GraphView(csr=gv)
+        csr = gv.csr
         env: Dict[int, Any] = {}
         edge_env: Dict[int, Any] = {}  # per-var cache of edge-domain arrays
 
@@ -82,7 +96,7 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
 
         for stmt in prog.stmts:
             if stmt.op.startswith("Agg"):
-                val = _lower_agg(stmt, csr, as_edge, node_val, impl)
+                val = _lower_agg(stmt, gv, as_edge, node_val, impl)
             elif stmt.ret.val_type == ValType.EDGE:
                 val = stmt.fn(*[as_edge(a) for a in stmt.args], **stmt.kwargs)
             else:
@@ -115,11 +129,12 @@ def _mul_chain_factors(v: Var) -> List[Var]:
 
 def _lower_agg(
     stmt: Stmt,
-    csr: CSR,
+    gv: GraphView,
     as_edge: Callable,
     node_val: Callable,
     impl: str,
 ):
+    csr = gv.csr
     (arg,) = stmt.args
     reduce = stmt.kwargs["reduce"]
 
@@ -142,6 +157,15 @@ def _lower_agg(
             for f in narrow:
                 fe = as_edge(f)
                 w = fe if w is None else w * fe
-            return M.spmm(csr, feat, edge_weight=w, reduce="sum", impl=impl)
+            return M.spmm(
+                csr,
+                feat,
+                edge_weight=w,
+                reduce="sum",
+                impl=impl,
+                blocked=gv.blocked,
+                blocked_t=gv.blocked_t,
+                csr_t=gv.csr_t,
+            )
 
     return M.aggregate(csr, as_edge(arg), reduce=reduce, masked=True)

@@ -16,7 +16,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
 
-from stgraph_tpu.compiler.lowering import lower
+from stgraph_tpu.compiler.lowering import GraphView, lower
 from stgraph_tpu.compiler.tracer import trace
 from stgraph_tpu.graph.csr import CSR
 
@@ -39,12 +39,12 @@ class Context:
     ):
         n_feats = dict(n_feats or {})
         e_feats = dict(e_feats or {})
-        csr = _as_csr(g)
+        gv = _as_view(g, self._impl)
         nspec = {k: (jnp.shape(v)[1:], _dtype(v)) for k, v in n_feats.items()}
         espec = {k: (jnp.shape(v)[1:], _dtype(v)) for k, v in e_feats.items()}
         tr = trace(self._f, nspec, espec)
         fn = lower(tr, impl=self._impl)
-        return fn(csr, n_feats, e_feats)
+        return fn(gv, n_feats, e_feats)
 
 
 class STGraph:
@@ -74,13 +74,34 @@ class STGraph:
         return decorator
 
 
-def _as_csr(g) -> CSR:
-    if isinstance(g, CSR):
+def _as_view(g, impl: str) -> GraphView:
+    """Normalize any graph handle (CSR, StaticGraph, ...) into a GraphView.
+
+    Blocked Pallas layouts are fetched only when the Pallas path can run:
+    they are host-built (concrete arrays), so a traced bare CSR cannot
+    produce them.
+    """
+    if isinstance(g, GraphView):
         return g
+    if isinstance(g, CSR):
+        return GraphView(csr=g)
     fwd = getattr(g, "fwd_csr", None)
     if fwd is not None:
-        return fwd
-    raise TypeError(f"cannot extract a CSR from {type(g)!r}")
+        blocked = blocked_t = None
+        import jax
+
+        want_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() not in ("cpu", "gpu")
+        )
+        if want_pallas and hasattr(g, "blocked_fwd"):
+            blocked, blocked_t = g.blocked_fwd, g.blocked_bwd
+        return GraphView(
+            csr=fwd,
+            csr_t=getattr(g, "bwd_csr", None),
+            blocked=blocked,
+            blocked_t=blocked_t,
+        )
+    raise TypeError(f"cannot extract a graph view from {type(g)!r}")
 
 
 def _dtype(v) -> Any:

@@ -43,7 +43,13 @@ class TracedValue:
     def _emit(self, op: str, args: List["TracedValue"], **kwargs) -> "TracedValue":
         fn = registry.lookup(op)
         probes = [a.probe for a in args]
-        out_probe = np.asarray(fn(*probes, **kwargs))
+        # Probe eval must stay concrete even when tracing happens inside an
+        # enclosing jit trace (jnp ops on concrete values would otherwise
+        # become tracers there and break np.asarray).
+        import jax
+
+        with jax.ensure_compile_time_eval():
+            out_probe = np.asarray(fn(*probes, **kwargs))
         vt = infer_val_type([a.var.val_type for a in args])
         ret = self.prog.new_var(vt, out_probe.shape[1:], out_probe.dtype)
         self.prog.append(Stmt(op=op, args=[a.var for a in args], ret=ret, kwargs=kwargs, fn=fn))

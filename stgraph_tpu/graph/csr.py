@@ -193,6 +193,22 @@ def build_csr(
     if capacity is None:
         capacity = round_up(max(e, 1), pad_multiple)
 
+    # Native counting-sort builder when available (stgraph_tpu/native):
+    # ~20x faster than np.lexsort at ogbn scale.
+    from stgraph_tpu import native
+
+    built = native.build_csr_arrays(src, dst, int(num_nodes), int(capacity))
+    if built is not None:
+        indptr, rows, cols, eids = built
+        return CSR(
+            indptr=jnp.asarray(indptr),
+            rows=jnp.asarray(rows),
+            cols=jnp.asarray(cols),
+            eids=jnp.asarray(eids),
+            num_nodes=int(num_nodes),
+            num_edges=e,
+        )
+
     # Stable sort by (dst, src); eid = original user position.
     order = np.lexsort((src, dst))
     s_src = src[order]

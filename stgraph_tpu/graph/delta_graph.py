@@ -112,7 +112,9 @@ def edge_store_to_csr(store: EdgeStore) -> CSR:
     (``gpma.cu:1121-1163``): edge ids are positional in sorted order, so
     per-snapshot edge data is indexed by sorted position.
     """
-    n = store.num_nodes
+    # num_nodes rides through jitted apply_delta as an array leaf; CSR
+    # requires it static. Materialization happens eagerly, so concretize.
+    n = int(store.num_nodes)
     valid = store.rows < n
     counts = jax.ops.segment_sum(
         jnp.where(valid, 1, 0), store.rows, num_segments=n

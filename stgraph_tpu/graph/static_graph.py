@@ -68,6 +68,23 @@ class StaticGraph(STGraphBase):
     def bwd_csr(self) -> CSR:
         return self._backward_graph
 
+    # -- Pallas kernel layouts (lazy, host-built once per graph) -----------
+    @property
+    def blocked_fwd(self):
+        if getattr(self, "_blocked_fwd", None) is None:
+            from stgraph_tpu.graph.blocked import build_blocked
+
+            self._blocked_fwd = build_blocked(self._forward_graph)
+        return self._blocked_fwd
+
+    @property
+    def blocked_bwd(self):
+        if getattr(self, "_blocked_bwd", None) is None:
+            from stgraph_tpu.graph.blocked import build_blocked
+
+            self._blocked_bwd = build_blocked(self._backward_graph)
+        return self._blocked_bwd
+
     def get_num_nodes(self) -> int:
         return self._num_nodes
 

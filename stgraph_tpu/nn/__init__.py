@@ -9,3 +9,7 @@ from stgraph_tpu.nn.gat_conv import GATConv
 from stgraph_tpu.nn.tgcn import TGCN
 
 __all__ = ["GATConv", "GCNConv", "TGCN"]
+
+from stgraph_tpu.nn.evolvegcn import EvolveGCNH, EvolveGCNO
+
+__all__ += ["EvolveGCNH", "EvolveGCNO"]

@@ -113,6 +113,9 @@ def spmm(
     edge_weight: Optional[jnp.ndarray] = None,
     reduce: str = "sum",
     impl: str = "auto",
+    blocked=None,
+    blocked_t=None,
+    csr_t: Optional[CSR] = None,
 ) -> jnp.ndarray:
     """out[dst] = reduce_{(src,dst) in E} edge_weight * node_feat[src].
 
@@ -121,7 +124,7 @@ def spmm(
     (N, H, F) features — broadcasting rules follow the IR's bcast_dim,
     reference ``compiler/utils.py:86``).
     """
-    impl = _resolve_impl(csr, node_feat, impl, reduce)
+    impl = _resolve_impl(csr, node_feat, impl, reduce, has_blocked=blocked is not None)
     if edge_weight is not None:
         edge_weight = jnp.asarray(edge_weight)
         if edge_weight.ndim == 0:
@@ -142,7 +145,15 @@ def spmm(
     if impl == "pallas":
         from stgraph_tpu.ops import spmm_pallas
 
-        return spmm_pallas.spmm(csr, node_feat, edge_weight, reduce)
+        return spmm_pallas.spmm(
+            csr,
+            node_feat,
+            edge_weight,
+            reduce,
+            blocked=blocked,
+            blocked_t=blocked_t,
+            csr_t=csr_t,
+        )
     # jnp path
     msg = gather_src(csr, node_feat)
     if edge_weight is not None:
@@ -175,11 +186,22 @@ def sddmm(
     raise ValueError(f"unknown sddmm op: {op}")
 
 
-def _resolve_impl(csr: CSR, node_feat: jnp.ndarray, impl: str, reduce: str) -> str:
+def _resolve_impl(
+    csr: CSR, node_feat: jnp.ndarray, impl: str, reduce: str, has_blocked: bool = False
+) -> str:
     if impl != "auto":
         return impl
     n = csr.num_nodes
     itemsize = jnp.dtype(node_feat.dtype).itemsize
     if reduce == "sum" and n * n * itemsize <= _DENSE_BUDGET_BYTES:
         return "dense"
+    if reduce == "sum" and has_blocked and _on_tpu():
+        return "pallas"
     return "jnp"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
