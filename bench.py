@@ -1,0 +1,205 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: edges/s/chip on 2-layer GCN forward+backward (the BASELINE.json
+north-star metric) on a Cora-scale graph, measured on the default JAX
+backend (real TPU under the driver). Secondary numbers (printed to stderr):
+TGCN epoch time on WindmillOutput-small and large-graph Pallas SpMM
+throughput.
+
+``vs_baseline`` is 1.0: the reference repository publishes no concrete
+numbers (BASELINE.md §"Published numbers" — ``"published": {}``), so there
+is no reference figure to normalize against.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_gcn_fwd_bwd():
+    """Edges/s of one fwd+bwd step of 2-layer GCN on Cora."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as fnn
+    import optax
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.dataset import CoraDataLoader
+    from stgraph_tpu.nn import GCNConv
+
+    cora = CoraDataLoader()
+    n = cora.gdata["num_nodes"]
+    e = cora.gdata["num_edges"]
+    f = cora.gdata["num_feats"]
+    classes = cora.gdata["num_classes"]
+    g = StaticGraph(cora.get_edges(), None, n)
+    x = jnp.asarray(cora.get_all_features())
+    y = jnp.asarray(cora.get_all_targets())
+
+    class GCN(fnn.Module):
+        @fnn.compact
+        def __call__(self, h):
+            h = GCNConv(f, 16, activation=jax.nn.relu)(g, h)
+            return GCNConv(16, classes)(g, h)
+
+    model = GCN()
+    params = model.init(jax.random.key(0), x)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    def run(p, s):
+        p, s, loss = step(p, s)
+        return loss
+
+    dt = _bench(run, params, opt_state, iters=50, warmup=5)
+    return {"epoch_s": dt, "edges_per_s": e / dt, "num_edges": e}
+
+
+def bench_tgcn_epoch(cutoff=100):
+    """TGCN regression epoch (fwd+bwd over all timesteps via lax.scan)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.dataset import WindmillOutputDataLoader
+    from stgraph_tpu.nn import TGCN
+
+    wind = WindmillOutputDataLoader(size="small", lags=8, cutoff_time=cutoff)
+    n = wind.gdata["num_nodes"]
+    g = StaticGraph(wind.get_edges(), wind.get_edge_weights(), n)
+    targets = jnp.asarray(np.stack(wind.get_all_targets()), jnp.float32)  # (T, N)
+    lags = 8
+    t_steps = targets.shape[0] - lags
+    feats = jnp.stack(
+        [targets[i : i + lags].T for i in range(t_steps)]
+    )  # (T', N, lags)
+    ys = targets[lags:]  # (T', N)
+    ew = jnp.asarray(wind.get_edge_weights(), jnp.float32)
+
+    model = TGCN(lags, 16)
+    import flax.linen as fnn
+
+    head = fnn.Dense(1)
+    params = model.init(jax.random.key(0), g, feats[0], edge_weight=ew)
+    hp = head.init(jax.random.key(1), jnp.zeros((n, 16)))
+
+    @jax.jit
+    def epoch(params, hp):
+        def loss_fn(params, hp):
+            def body(hidden, xy):
+                x_t, y_t = xy
+                hidden = model.apply(params, g, x_t, edge_weight=ew, hidden=hidden)
+                y_hat = head.apply(hp, hidden)[:, 0]
+                return hidden, jnp.mean((y_hat - y_t) ** 2)
+
+            _, losses = jax.lax.scan(body, jnp.zeros((n, 16)), (feats, ys))
+            return losses.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, hp)
+        return loss
+
+    dt = _bench(epoch, params, hp, iters=10, warmup=2)
+    return {"tgcn_epoch_s": dt, "timesteps": int(t_steps)}
+
+
+def bench_pallas_spmm(n=100_000, e=2_000_000, f=128):
+    """Large-graph SpMM throughput (Pallas path on TPU, jnp elsewhere)."""
+    import jax
+    import jax.numpy as jnp
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops import message as M
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    csr = build_csr(src, dst, n)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    h = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    if on_tpu:
+        from stgraph_tpu.graph.blocked import build_blocked
+        from stgraph_tpu.ops import spmm_pallas
+
+        blocked = build_blocked(csr)
+        blocked_t = build_blocked(csr.transpose())
+        fn = jax.jit(
+            lambda h: spmm_pallas.spmm(
+                csr, h, blocked=blocked, blocked_t=blocked_t
+            )
+        )
+    else:
+        fn = jax.jit(lambda h: M.spmm(csr, h, impl="jnp"))
+    dt = _bench(fn, h, iters=20, warmup=3)
+    bytes_moved = e * 4 * (f + 2) + 2 * n * f * 4
+    return {
+        "spmm_s": dt,
+        "spmm_edges_per_s": e / dt,
+        "spmm_approx_gbps": bytes_moved / dt / 1e9,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--quick", action="store_true", help="skip secondary benches")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    gcn = bench_gcn_fwd_bwd()
+    extras = {}
+    if not args.quick:
+        try:
+            extras.update(bench_tgcn_epoch())
+        except Exception as exc:
+            print(f"tgcn bench failed: {exc}", file=sys.stderr)
+        try:
+            extras.update(bench_pallas_spmm())
+        except Exception as exc:
+            print(f"pallas bench failed: {exc}", file=sys.stderr)
+    for k, v in {**gcn, **extras}.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "gcn_fwd_bwd_edges_per_s",
+                "value": round(gcn["edges_per_s"], 1),
+                "unit": "edges/s/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""Distribution layer: edge partitioning + halo exchange over device meshes.
+
+Net-new relative to the single-GPU reference (SURVEY §2.6). Host-side
+partitioner in ``partition.py``; shard_map halo-exchange SpMM in
+``halo.py``; mesh helpers in ``mesh.py``.
+"""
+
+from stgraph_tpu.parallel.halo import dist_spmm, replicate, shard_node_array
+from stgraph_tpu.parallel.mesh import make_mesh
+from stgraph_tpu.parallel.partition import DistGraph, partition_edges
+
+__all__ = [
+    "DistGraph",
+    "dist_spmm",
+    "make_mesh",
+    "partition_edges",
+    "replicate",
+    "shard_node_array",
+]

@@ -1,0 +1,101 @@
+"""Distributed SpMM: shard_map halo exchange + local aggregation.
+
+The device-side half of the distribution layer (host half:
+``parallel/partition.py``). Per BASELINE.json: "edge-partitioning the
+graph, exchanging boundary vertex features all-to-all over ICI and
+overlapping the exchange with local neighborhood aggregation".
+
+Inside ``shard_map`` each shard:
+
+  1. gathers its outgoing halo rows (``send_idx``) into a (P, K, F) buffer;
+  2. ``jax.lax.all_to_all`` swaps buffers over the ``graph`` mesh axis —
+     on hardware this rides ICI, and XLA's async collectives let the
+     **interior** aggregation (edges whose sources are local) overlap the
+     exchange: interior edges never touch the halo buffer, so their
+     segment-sum has no data dependency on the collective;
+  3. aggregates over the widened [local | halo] feature buffer.
+
+Autodiff: shard_map is differentiable — ``all_to_all`` transposes to
+``all_to_all``, the halo gather transposes to a scatter-add — so the
+gradient halo reduction the reference would have needed to hand-write is
+synthesized by JAX (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from stgraph_tpu.graph.csr import CSR
+from stgraph_tpu.ops import message as M
+from stgraph_tpu.parallel.partition import DistGraph
+
+__all__ = ["dist_spmm", "shard_node_array", "replicate"]
+
+
+def shard_node_array(mesh: Mesh, x: jnp.ndarray, dg: DistGraph) -> jnp.ndarray:
+    """Pad a (N, ...) global node array to P·Ns rows and shard over 'graph'."""
+    pad = dg.padded_nodes - x.shape[0]
+    if pad:
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    spec = P("graph", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def dist_spmm(
+    mesh: Mesh,
+    dg: DistGraph,
+    h: jnp.ndarray,
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """out[d] = sum over in-edges of h[src], edge-partitioned over ``axis``.
+
+    ``h`` is the (P·Ns, F) node-sharded feature array; returns the same
+    sharding. Unweighted sum aggregation (GCN folds its normalization into
+    node features; fused-weight variants follow the same pattern).
+    """
+    f = h.shape[-1]
+    ns, k, p = dg.nodes_per_shard, dg.halo_size, dg.num_shards
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis),  # send_idx stacked over shards
+            P(axis),  # local_csr pytree (prefix spec: dim0 of every leaf)
+            P(axis, None),  # h rows
+        ),
+        out_specs=P(axis, None),
+    )
+    def _fwd(send_idx, local_csr, h_local):
+        send_idx = send_idx[0]  # (P, K) — leading shard dim of size 1
+        csr = jax.tree_util.tree_map(lambda x: x[0], local_csr)
+        csr = CSR(
+            indptr=csr.indptr,
+            rows=csr.rows,
+            cols=csr.cols,
+            eids=csr.eids,
+            num_nodes=ns,
+            num_edges=csr.num_edges,
+        )
+        # 1. halo send buffer: rows other shards asked for.
+        send = h_local[send_idx]  # (P, K, F)
+        # 2. exchange over ICI. split/concat on the shard axis.
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        # 3. widened buffer and one local segment reduction. XLA may
+        # overlap (2) with the interior part of (3) since interior edges
+        # only read h_local.
+        buf = jnp.concatenate([h_local, recv.reshape(p * k, f)], axis=0)
+        out = M.spmm(csr, buf, impl="jnp")
+        return out
+
+    return _fwd(dg.send_idx, dg.local_csr, h)

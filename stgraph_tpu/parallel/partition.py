@@ -1,0 +1,163 @@
+"""Edge partitioning for multi-chip execution.
+
+Net-new relative to the reference, which is single-GPU only (SURVEY §2.6:
+no distribution layer exists). Strategy per BASELINE.json's north star:
+**edge-partition by destination-node range** with boundary-feature halo
+exchange:
+
+  * shard ``p`` owns destination rows ``[p·Ns, (p+1)·Ns)`` and *all* edges
+    pointing into them — so each shard's aggregation is a completely local
+    segment reduction once source features are present;
+  * source features live sharded by the same row ranges; a shard's edges
+    whose sources fall outside its range need a **halo**: for each ordered
+    shard pair (q → p) the partitioner precomputes the exact index list of
+    q-local rows that p needs, padded to the max halo size K so the
+    exchange is one static ``all_to_all``;
+  * every local edge's source is remapped into the concatenated
+    ``[own rows | halo buffer]`` index space at partition time, so the
+    device-side kernel is an ordinary SpMM over a slightly wider "node"
+    space.
+
+All of this is host-side layout work (numpy), one-time per graph — the
+same philosophy as the reference's C++ CSR builder (``csr.cu``).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stgraph_tpu.graph.csr import CSR
+
+__all__ = ["DistGraph", "partition_edges"]
+
+
+class DistGraph(NamedTuple):
+    """Edge-partitioned graph, stacked over shards on the leading axis.
+
+    Attributes:
+      local_csr: CSR pytree whose arrays have leading dim P. Rows are
+        shard-local destinations in [0, Ns); cols index the concatenated
+        [local rows (Ns) | halo buffer (P*K)] space; ``num_nodes`` is Ns
+        (so sentinel/edge-mask logic keeps working per shard).
+      send_idx: (P, P, K) int32 — ``send_idx[p, q]``: p-local row indices
+        to ship to shard q (0-padded; receivers never read padding).
+      num_nodes: global node count (unpadded).
+      nodes_per_shard: Ns (padded so P·Ns ≥ num_nodes).
+      halo_size: K.
+      num_shards: P.
+    """
+
+    local_csr: CSR
+    send_idx: jnp.ndarray
+    num_nodes: int
+    nodes_per_shard: int
+    halo_size: int
+    num_shards: int
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.nodes_per_shard * self.num_shards
+
+
+def partition_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    pad_multiple: int = 8,
+) -> DistGraph:
+    """Host-side partitioner: global edge list → DistGraph."""
+    src = np.asarray(src, dtype=np.int64).reshape(-1)
+    dst = np.asarray(dst, dtype=np.int64).reshape(-1)
+    p = num_shards
+    ns = -(-num_nodes // p)  # ceil
+    owner = src // ns  # owner shard of each edge's source
+
+    # Per-shard edge sets (dst ownership) and halo needs.
+    shard_edges: List[np.ndarray] = []
+    need: List[List[np.ndarray]] = []  # need[pp][q] = global src ids needed
+    for pp in range(p):
+        mask = (dst // ns) == pp
+        shard_edges.append(np.flatnonzero(mask))
+        needs_q = []
+        for q in range(p):
+            if q == pp:
+                needs_q.append(np.empty(0, np.int64))
+                continue
+            sel = mask & (owner == q)
+            needs_q.append(np.unique(src[sel]))
+        need.append(needs_q)
+
+    k = max(
+        (len(n) for needs_q in need for n in needs_q), default=0
+    )
+    k = max(((k + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
+
+    # send_idx[p, q] = rows of shard p that q needs (q's need[q][p]).
+    send_idx = np.zeros((p, p, k), dtype=np.int32)
+    for pp in range(p):
+        for q in range(p):
+            ids = need[q][pp]  # global ids owned by pp, needed by q
+            send_idx[pp, q, : len(ids)] = ids - pp * ns
+
+    # Remap each shard's edge sources into [local | halo] space and build
+    # uniformly-padded local CSRs.
+    max_e = max((len(e) for e in shard_edges), default=0)
+    cap = max(((max_e + 511) // 512) * 512, 512)
+    csrs: List[CSR] = []
+    for pp in range(p):
+        idx = shard_edges[pp]
+        l_dst = dst[idx] - pp * ns
+        g_src = src[idx]
+        l_src = np.empty_like(g_src)
+        local = (g_src // ns) == pp
+        l_src[local] = g_src[local] - pp * ns
+        # halo position: ns + q*k + rank within need[pp][q]
+        for q in range(p):
+            if q == pp:
+                continue
+            sel = (~local) & ((g_src // ns) == q)
+            if not sel.any():
+                continue
+            pos = np.searchsorted(need[pp][q], g_src[sel])
+            l_src[sel] = ns + q * k + pos
+        csrs.append(_build_local_csr(l_src, l_dst, ns, cap))
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *csrs)
+    return DistGraph(
+        local_csr=stacked,
+        send_idx=jnp.asarray(send_idx),
+        num_nodes=num_nodes,
+        nodes_per_shard=ns,
+        halo_size=k,
+        num_shards=p,
+    )
+
+
+def _build_local_csr(l_src: np.ndarray, l_dst: np.ndarray, ns: int, cap: int) -> CSR:
+    """Local CSR: rows ∈ [0, ns), cols in the widened [local|halo] space.
+    Sentinel for padding rows is ``ns`` (matching ``CSR`` conventions)."""
+    e = len(l_src)
+    order = np.lexsort((l_src, l_dst))
+    rows = np.full(cap, ns, np.int32)
+    cols = np.full(cap, 0, np.int32)  # padded cols point at row 0: harmless,
+    # the row sentinel already drops these edges at the segment reduction.
+    eids = np.full(cap, cap, np.int32)
+    rows[:e] = l_dst[order]
+    cols[:e] = l_src[order]
+    eids[:e] = np.arange(e, dtype=np.int32)[order]
+    counts = np.bincount(l_dst, minlength=ns)
+    indptr = np.zeros(ns + 1, np.int32)
+    np.cumsum(counts, out=indptr[1:])
+    return CSR(
+        indptr=jnp.asarray(indptr),
+        rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols),
+        eids=jnp.asarray(eids),
+        num_nodes=ns,
+        num_edges=e,
+    )

@@ -1,0 +1,99 @@
+"""Distribution layer: partitioning invariants, halo-exchange SpMM, and a
+full distributed training step on a virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stgraph_tpu.parallel import (
+    dist_spmm,
+    make_mesh,
+    partition_edges,
+    shard_node_array,
+)
+
+
+@pytest.fixture
+def setup(rng):
+    n, e, f, p = 500, 3000, 16, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = rng.standard_normal((n, f)).astype(np.float32)
+    a = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0
+    return dg, mesh, h, a, n
+
+
+def test_partition_covers_all_edges(rng):
+    n, e, p = 100, 400, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    total = sum(int(x) for x in np.asarray(dg.local_csr.num_edges))
+    assert total == e
+    # every shard's rows stay inside its range
+    rows = np.asarray(dg.local_csr.rows)
+    for pp in range(p):
+        real = rows[pp] < dg.nodes_per_shard
+        assert (rows[pp][real] >= 0).all()
+
+
+def test_dist_spmm_matches_dense(setup):
+    dg, mesh, h, a, n = setup
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+    out = jax.jit(lambda x: dist_spmm(mesh, dg, x))(hs)
+    np.testing.assert_allclose(np.asarray(out)[:n], a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_grad_matches_dense(setup):
+    dg, mesh, h, a, n = setup
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+
+    def loss(x):
+        return (dist_spmm(mesh, dg, x) ** 2).sum()
+
+    g = jax.jit(jax.grad(loss))(hs)
+    gd = jax.grad(lambda x: ((jnp.asarray(a) @ x) ** 2).sum())(jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(g)[:n], np.asarray(gd), rtol=1e-4, atol=1e-4)
+
+
+def test_dist_output_sharding_preserved(setup):
+    dg, mesh, h, a, n = setup
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+    out = jax.jit(lambda x: dist_spmm(mesh, dg, x))(hs)
+    assert "graph" in str(out.sharding)
+
+
+def test_make_mesh():
+    mesh = make_mesh(graph=4, data=2)
+    assert mesh.shape == {"data": 2, "graph": 4}
+    with pytest.raises(ValueError):
+        make_mesh(graph=64, data=64)
+
+
+def test_full_distributed_train_step():
+    """The driver-facing dryrun on the virtual mesh must run end to end."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_uneven_nodes_partition(rng):
+    # num_nodes not divisible by shards: padded tail must not corrupt sums.
+    n, e, p = 13, 40, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = rng.standard_normal((n, 4)).astype(np.float32)
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+    out = np.asarray(jax.jit(lambda x: dist_spmm(mesh, dg, x))(hs))[:n]
+    a = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0
+    np.testing.assert_allclose(out, a @ h, rtol=1e-4, atol=1e-4)
