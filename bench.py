@@ -60,9 +60,11 @@ def bench_gcn_fwd_bwd():
             return GCNConv(16, classes)(g, h)
 
     model = GCN()
-    params = model.init(jax.random.key(0), x)
+    # Jit the init: eager per-op dispatch over the remote-TPU tunnel takes
+    # minutes; one jitted program compiles once.
+    params = jax.jit(model.init)(jax.random.key(0), x)
     opt = optax.adam(1e-2)
-    opt_state = opt.init(params)
+    opt_state = jax.jit(opt.init)(params)
 
     @jax.jit
     def step(p, s):
@@ -107,8 +109,10 @@ def bench_tgcn_epoch(cutoff=100):
     import flax.linen as fnn
 
     head = fnn.Dense(1)
-    params = model.init(jax.random.key(0), g, feats[0], edge_weight=ew)
-    hp = head.init(jax.random.key(1), jnp.zeros((n, 16)))
+    params = jax.jit(
+        lambda k, x: model.init(k, g, x, edge_weight=ew)
+    )(jax.random.key(0), feats[0])
+    hp = jax.jit(head.init)(jax.random.key(1), jnp.zeros((n, 16)))
 
     @jax.jit
     def epoch(params, hp):
@@ -146,8 +150,9 @@ def bench_pallas_spmm(n=100_000, e=2_000_000, f=128):
         from stgraph_tpu.graph.blocked import build_blocked
         from stgraph_tpu.ops import spmm_pallas
 
+        csr_t = build_csr(dst, src, n, capacity=csr.capacity)
         blocked = build_blocked(csr)
-        blocked_t = build_blocked(csr.transpose())
+        blocked_t = build_blocked(csr_t)
         fn = jax.jit(
             lambda h: spmm_pallas.spmm(
                 csr, h, blocked=blocked, blocked_t=blocked_t

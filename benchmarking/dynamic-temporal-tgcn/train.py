@@ -82,11 +82,11 @@ def main() -> None:
     # Positive edges per snapshot for the link-prediction loss: reuse the
     # stacked CSR's own (padded) edges; negatives are uniform random.
     model = TGCN(lags, args.num_hidden)
-    params = model.init(
-        jax.random.key(0),
-        jax.tree_util.tree_map(lambda x: x[0], stacked),
-        feats[0],
-    )
+    params = jax.jit(
+        lambda k, x: model.init(
+            k, jax.tree_util.tree_map(lambda a: a[0], stacked), x
+        )
+    )(jax.random.key(0), feats[0])
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 

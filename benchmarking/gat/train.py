@@ -72,7 +72,7 @@ def main() -> None:
             return out.mean(axis=1)  # average the output heads
 
     model = GAT()
-    params = model.init(jax.random.key(42), x)
+    params = jax.jit(model.init)(jax.random.key(42), x)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 

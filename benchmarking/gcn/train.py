@@ -60,7 +60,7 @@ def main() -> None:
             return GCNConv(h.shape[-1], classes, impl=args.impl)(g, h)
 
     model = GCN()
-    params = model.init(jax.random.key(42), x)
+    params = jax.jit(model.init)(jax.random.key(42), x)
     opt = optax.adamw(args.lr, weight_decay=args.weight_decay)
     opt_state = opt.init(params)
 

@@ -92,7 +92,9 @@ def main() -> None:
 
     model = TGCN(lags, args.num_hidden, impl=args.impl)
     head = fnn.Dense(1)
-    params = model.init(jax.random.key(0), g, feats[0], edge_weight=ew)
+    params = jax.jit(lambda k, x: model.init(k, g, x, edge_weight=ew))(
+        jax.random.key(0), feats[0]
+    )
     hparams = head.init(jax.random.key(1), jnp.zeros((n, args.num_hidden)))
     opt = optax.adam(args.lr)
     opt_state = opt.init((params, hparams))

@@ -51,7 +51,13 @@ class StaticGraph(STGraphBase):
         self._forward_graph = build_csr(
             src, dst, self._num_nodes, pad_multiple=pad_multiple
         )
-        self._backward_graph = self._forward_graph.transpose()
+        # Backward CSR (row = src, col = dst) is built host-side rather than
+        # via CSR.transpose(): device argsorts are eager dispatches, which
+        # are pathologically slow over a remote-TPU tunnel. Both builds
+        # label eids by user edge order, so edge data is shared.
+        self._backward_graph = build_csr(
+            dst, src, self._num_nodes, capacity=self._forward_graph.capacity
+        )
 
         if edge_weights is not None:
             w = np.asarray(edge_weights, dtype=np.float32).reshape(-1)
@@ -95,10 +101,11 @@ class StaticGraph(STGraphBase):
         return "csr"
 
     def in_degrees(self) -> np.ndarray:
-        return np.asarray(self._forward_graph.degrees(), dtype=np.int32)
+        # Host-side diff of indptr (no device dispatch).
+        return np.diff(np.asarray(self._forward_graph.indptr)).astype(np.int32)
 
     def out_degrees(self) -> np.ndarray:
-        return np.asarray(self._forward_graph.col_degrees(), dtype=np.int32)
+        return np.diff(np.asarray(self._backward_graph.indptr)).astype(np.int32)
 
     def weighted_in_degrees(self) -> np.ndarray:
         """Sum of in-edge weights per node (reference ``csr.cu:48-50``)."""
