@@ -203,12 +203,19 @@ class DeltaGraph(DynamicGraph):
 
     def get_graph(self, timestamp: int) -> CSR:
         if timestamp not in self._csr_cache:
-            self._csr_cache[timestamp] = edge_store_to_csr(self._snapshots[timestamp])
+            # Snapshots are concrete; build the cached CSR eagerly even when
+            # first accessed inside a jit trace (otherwise traced arrays
+            # would leak into the cache and escape the trace).
+            with jax.ensure_compile_time_eval():
+                self._csr_cache[timestamp] = edge_store_to_csr(
+                    self._snapshots[timestamp]
+                )
         return self._csr_cache[timestamp]
 
     def get_backward_graph(self, timestamp: int) -> CSR:
         if timestamp not in self._bwd_cache:
-            self._bwd_cache[timestamp] = self.get_graph(timestamp).transpose()
+            with jax.ensure_compile_time_eval():
+                self._bwd_cache[timestamp] = self.get_graph(timestamp).transpose()
         return self._bwd_cache[timestamp]
 
     def stacked(self) -> CSR:
