@@ -10,7 +10,7 @@ What remains is the valuable part: the vertex-centric frontend and the
 lowering that routes aggregation patterns into MXU-friendly kernels.
 """
 
-from stgraph_tpu.compiler import dsl
+from stgraph_tpu.compiler import debugging, dsl
 from stgraph_tpu.compiler.ir import Program, Stmt, ValType, Var
 from stgraph_tpu.compiler.lowering import lower
 from stgraph_tpu.compiler.node import CentralNode, NbEdge, NbNode
@@ -19,6 +19,7 @@ from stgraph_tpu.compiler.tracer import TracedValue, trace
 
 __all__ = [
     "CentralNode",
+    "debugging",
     "Context",
     "NbEdge",
     "NbNode",

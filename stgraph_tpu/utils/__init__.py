@@ -3,6 +3,19 @@
 from stgraph_tpu.utils.norm import symmetric_norm
 from stgraph_tpu.utils.data_table import DataTable
 from stgraph_tpu.utils.checkpoint import Checkpointer
+from stgraph_tpu.utils.constants import SizeConstants, TileConstants
+from stgraph_tpu.utils.device_info import DeviceInfo
+from stgraph_tpu.utils.train_utils import EarlyStopping, accuracy
 from stgraph_tpu.utils import profiler
 
-__all__ = ["Checkpointer", "DataTable", "profiler", "symmetric_norm"]
+__all__ = [
+    "Checkpointer",
+    "DataTable",
+    "DeviceInfo",
+    "EarlyStopping",
+    "SizeConstants",
+    "TileConstants",
+    "accuracy",
+    "profiler",
+    "symmetric_norm",
+]
