@@ -1,0 +1,184 @@
+"""Distributed GCN scaling benchmark: 1 → N devices over a mesh.
+
+The scale-out harness for the net-new distribution layer (the reference is
+single-GPU; SURVEY §2.6). Edge-partitions a synthetic power-law graph
+(ogbn-products-like at full scale), shards node features by destination
+range, and times the full jitted training step — halo all_to_all + local
+SpMM + dense layers + optax — per device count.
+
+On a real pod slice this measures ICI scaling; on a dev box it validates
+the sharding path on virtual CPU devices
+(``--force-cpu-devices 8`` sets ``xla_force_host_platform_device_count``).
+
+Usage:
+  python benchmarking/dist/train.py --nodes 100000 --edges 2000000 \
+      --device-counts 1,2,4,8 --force-cpu-devices 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+)
+
+import numpy as np
+
+
+def build_step(mesh, dg, x, y, norm, params, opt):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgraph_tpu.parallel import dist_spmm
+
+    def model(p, h):
+        h = (h @ p["w1"] + p["b1"]) * norm
+        h = dist_spmm(mesh, dg, h) * norm
+        h = jax.nn.relu(h)
+        h = (h @ p["w2"] + p["b2"]) * norm
+        h = dist_spmm(mesh, dg, h) * norm
+        return h
+
+    @jax.jit
+    def train_step(p, opt_state):
+        def loss_fn(p):
+            logits = model(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    return train_step
+
+
+def run_once(num_devices: int, args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from stgraph_tpu.parallel import partition_edges, shard_node_array
+
+    devices = jax.devices()[:num_devices]
+    if len(devices) < num_devices:
+        raise RuntimeError(f"only {len(devices)} devices visible")
+    mesh = Mesh(np.asarray(devices), ("graph",))
+
+    rng = np.random.default_rng(0)
+    n, e, f, hidden, classes = args.nodes, args.edges, args.feat, args.hidden, 16
+    # Power-law-ish sources (hubs), uniform destinations.
+    src = (n * rng.power(2.5, e)).astype(np.int64) % n
+    dst = rng.integers(0, n, e)
+
+    t0 = time.perf_counter()
+    dg = partition_edges(src, dst, n, num_devices)
+    partition_s = time.perf_counter() - t0
+
+    x = shard_node_array(
+        mesh, jnp.asarray(rng.standard_normal((n, f)), jnp.float32), dg
+    )
+    y = jax.device_put(
+        jnp.asarray(rng.integers(0, classes, dg.padded_nodes)),
+        NamedSharding(mesh, P("graph")),
+    )
+    norm = shard_node_array(
+        mesh, jnp.asarray(rng.random((n, 1)) + 0.5, jnp.float32), dg
+    )
+    params = jax.device_put(
+        {
+            "w1": jnp.asarray(rng.standard_normal((f, hidden)) * 0.1, jnp.float32),
+            "b1": jnp.zeros((hidden,), jnp.float32),
+            "w2": jnp.asarray(
+                rng.standard_normal((hidden, classes)) * 0.1, jnp.float32
+            ),
+            "b2": jnp.zeros((classes,), jnp.float32),
+        },
+        NamedSharding(mesh, P()),
+    )
+    opt = optax.adam(1e-2)
+    opt_state = jax.jit(opt.init)(params)
+
+    step = build_step(mesh, dg, x, y, norm, params, opt)
+    params, opt_state, loss = step(params, opt_state)  # compile
+    jax.block_until_ready(loss)
+
+    iters = args.iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    return {
+        "devices": num_devices,
+        "step_s": dt,
+        "edges_per_s": e / dt,
+        "halo_K": dg.halo_size,
+        "partition_s": partition_s,
+        "loss": float(loss),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser("distributed GCN scaling")
+    ap.add_argument("--nodes", type=int, default=100_000)
+    ap.add_argument("--edges", type=int, default=1_000_000)
+    ap.add_argument("--feat", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--device-counts", default="1,2,4,8")
+    ap.add_argument(
+        "--force-cpu-devices",
+        type=int,
+        default=0,
+        help="simulate N virtual CPU devices",
+    )
+    args = ap.parse_args()
+
+    if args.force_cpu_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from stgraph_tpu.utils import DataTable
+
+    counts = [int(c) for c in args.device_counts.split(",")]
+    dt = DataTable(
+        f"distributed GCN step (N={args.nodes}, E={args.edges}, F={args.feat})",
+        ["devices", "step_ms", "edges/s", "speedup", "halo_K", "partition_s"],
+    )
+    base = None
+    for c in counts:
+        r = run_once(c, args)
+        if base is None:
+            base = r["step_s"]
+        dt.add_row(
+            [
+                r["devices"],
+                f"{r['step_s'] * 1e3:.2f}",
+                f"{r['edges_per_s']:.3g}",
+                f"{base / r['step_s']:.2f}x",
+                r["halo_K"],
+                f"{r['partition_s']:.2f}",
+            ]
+        )
+        print(f"devices={c}: {r['step_s']*1e3:.2f} ms/step", file=sys.stderr)
+    dt.display()
+
+
+if __name__ == "__main__":
+    main()
