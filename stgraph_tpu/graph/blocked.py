@@ -72,16 +72,14 @@ class BlockedCSR(NamedTuple):
 def build_blocked(csr: CSR, edge_chunk: int = EDGE_CHUNK) -> BlockedCSR:
     """Host-side layout pass (requires a concrete, non-traced CSR)."""
     n = csr.num_nodes
-    indptr = np.asarray(csr.indptr)
-    rows = np.asarray(csr.rows)
-    cols = np.asarray(csr.cols)
+    indptr, rows, cols, csr_eids = csr.host_arrays()
     e = int(csr.num_edges)
     cap = csr.capacity
 
     from stgraph_tpu import native
 
     built = native.build_blocked_arrays(
-        indptr, rows, cols, np.asarray(csr.eids), n, cap, ROW_BLOCK, edge_chunk
+        indptr, rows, cols, csr_eids, n, cap, ROW_BLOCK, edge_chunk
     )
     if built is not None:
         offsets, counts, bdst, bcols, bperm, beids = built
@@ -117,7 +115,7 @@ def build_blocked(csr: CSR, edge_chunk: int = EDGE_CHUNK) -> BlockedCSR:
     total = int(offsets[-1] + pad_counts[-1]) if nb else 0
     total = max(total, edge_chunk)
 
-    eids = np.asarray(csr.eids)
+    eids = csr_eids
     bdst = np.full(total, n, dtype=np.int32)
     bcols = np.full(total, n, dtype=np.int32)
     bperm = np.full(total, cap, dtype=np.int32)

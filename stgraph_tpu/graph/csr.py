@@ -92,6 +92,28 @@ class CSR:
             num_edges=num_edges,
         )
 
+    # -- host mirror ------------------------------------------------------
+    def host_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(indptr, rows, cols, eids) as numpy, for host-side layout passes.
+
+        ``build_csr`` attaches the originals (``_host``); without them this
+        pulls from device — one transfer each, which over a remote-TPU
+        tunnel is slow enough to matter, hence the cache.
+        """
+        cached = getattr(self, "_host", None)
+        if cached is not None:
+            return cached
+        if isinstance(self.indptr, jax.core.Tracer):
+            raise TypeError("host_arrays() requires a concrete (non-traced) CSR")
+        host = (
+            np.asarray(self.indptr),
+            np.asarray(self.rows),
+            np.asarray(self.cols),
+            np.asarray(self.eids),
+        )
+        object.__setattr__(self, "_host", host)
+        return host
+
     # -- basic properties ------------------------------------------------
     @property
     def capacity(self) -> int:
@@ -124,6 +146,18 @@ class CSR:
         by (col, row) with padding pushed to the end.
         """
         n = self.num_nodes
+        if not isinstance(self.rows, jax.core.Tracer):
+            # Concrete CSR: transpose host-side (numpy) — no device argsort
+            # dispatches, and the result carries its own host mirror.
+            _, rows, cols, eids = self.host_arrays()
+            order = np.lexsort((rows, cols))
+            t_rows, t_cols, t_eids = cols[order], rows[order], eids[order]
+            counts = np.bincount(t_rows[t_rows < n], minlength=n)
+            indptr = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=indptr[1:])
+            return _make_csr_with_host(
+                indptr, t_rows, t_cols, t_eids, n, self.num_edges
+            )
         # Sort by (col, row) without forming a wide composite key (which
         # would overflow int32 for n > ~46k): two stable argsorts — first by
         # row, then by col. Padding already carries col == n, so it sorts
@@ -200,14 +234,7 @@ def build_csr(
     built = native.build_csr_arrays(src, dst, int(num_nodes), int(capacity))
     if built is not None:
         indptr, rows, cols, eids = built
-        return CSR(
-            indptr=jnp.asarray(indptr),
-            rows=jnp.asarray(rows),
-            cols=jnp.asarray(cols),
-            eids=jnp.asarray(eids),
-            num_nodes=int(num_nodes),
-            num_edges=e,
-        )
+        return _make_csr_with_host(indptr, rows, cols, eids, int(num_nodes), e)
 
     # Stable sort by (dst, src); eid = original user position.
     order = np.lexsort((src, dst))
@@ -226,11 +253,27 @@ def build_csr(
     indptr = np.zeros(num_nodes + 1, dtype=np.int32)
     np.cumsum(counts, out=indptr[1:])
 
-    return CSR(
+    return _make_csr_with_host(indptr, rows, cols, eids, int(num_nodes), e)
+
+
+def _make_csr_with_host(indptr, rows, cols, eids, num_nodes: int, num_edges: int) -> CSR:
+    """Device CSR that keeps its numpy originals for host layout passes."""
+    csr = CSR(
         indptr=jnp.asarray(indptr),
         rows=jnp.asarray(rows),
         cols=jnp.asarray(cols),
         eids=jnp.asarray(eids),
-        num_nodes=int(num_nodes),
-        num_edges=e,
+        num_nodes=num_nodes,
+        num_edges=num_edges,
     )
+    object.__setattr__(
+        csr,
+        "_host",
+        (
+            np.asarray(indptr),
+            np.asarray(rows),
+            np.asarray(cols),
+            np.asarray(eids),
+        ),
+    )
+    return csr

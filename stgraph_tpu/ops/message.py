@@ -132,11 +132,13 @@ def spmm(
             node_feat = node_feat * edge_weight
             edge_weight = None
     # The dense path folds one scalar weight per edge into the adjacency;
-    # per-head weights (E, H) must take a sparse path.
+    # per-head weights (E, H) take the multi-head Pallas kernel on TPU
+    # (one MXU matmul per edge chunk over flattened H·F lanes) and the jnp
+    # segment reduction elsewhere.
     if impl == "dense" and not (
         edge_weight is None or edge_weight.size == csr.capacity
     ):
-        impl = "jnp"
+        impl = "pallas" if (blocked is not None and _on_tpu()) else "jnp"
     if impl == "dense" and reduce == "sum":
         a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
         flat = node_feat.reshape(node_feat.shape[0], -1)

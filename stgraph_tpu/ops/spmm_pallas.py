@@ -257,6 +257,67 @@ def _make_spmm(
     return f
 
 
+def _make_spmm_multihead(
+    bf: BlockedCSR, bb: BlockedCSR, csr: CSR, interpret: bool
+):
+    """Custom-VJP multi-head weighted SpMM.
+
+    ``h`` is (N, H, F); ``w`` is (capacity, H) per-edge-per-head weights in
+    CSR order (GAT's softmaxed attention). The per-head scaling rides the
+    XLA gather (fused elementwise); the segment reduction runs on the
+    flattened (H·F)-lane blocked kernel — one MXU matmul per edge chunk
+    instead of a serialized scatter-add.
+    """
+
+    @jax.custom_vjp
+    def f(h, w):
+        n, heads, feat = h.shape
+        wb = _to_blocked_w_mh(bf, csr, w)  # (CB, H) blocked order
+        gathered = h[bf.cols] * wb[:, :, None]  # fused gather+scale
+        ones = jnp.ones((bf.capacity,), jnp.float32)
+        out = segment_sum_blocked(
+            bf, ones, gathered.reshape(bf.capacity, heads * feat), interpret
+        )
+        return out.reshape(out.shape[0], heads, feat)
+
+    def fwd(h, w):
+        return f(h, w), (h, w)
+
+    def bwd(res, g):
+        h, w = res
+        n, heads, feat = h.shape
+        # dh[s,h,:] = sum_{e=(s,d)} w[e,h] * g[d,h,:]: transpose layout.
+        wb_t = _to_blocked_w_mh(bb, csr, w)
+        gathered = g[bb.cols] * wb_t[:, :, None]
+        ones = jnp.ones((bb.capacity,), jnp.float32)
+        dh = segment_sum_blocked(
+            bb, ones, gathered.reshape(bb.capacity, heads * feat), interpret
+        )[:n].reshape(n, heads, feat)
+        # dw[e,h] = sum_f h[src_e,h,f] * g[dst_e,h,f]  (per-head SDDMM).
+        dw = jnp.sum(h[csr.cols] * g[csr.rows], axis=-1)
+        dw = jnp.where(csr.edge_mask[:, None], dw, 0.0)
+        return (dh, dw.astype(w.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _to_blocked_w_mh(blk: BlockedCSR, csr: CSR, w: jnp.ndarray) -> jnp.ndarray:
+    """Permute (capacity, H) CSR-order weights into ``blk``'s edge order.
+
+    For the forward layout ``blk.perm`` maps directly; for the transpose
+    layout weights are routed through the shared user eids (sentinels clamp
+    to an arbitrary slot — harmless, their dst matches no row).
+    """
+    cap = csr.capacity
+    pos_in_fwd = jnp.zeros((cap + 1,), jnp.int32)
+    pos_in_fwd = pos_in_fwd.at[jnp.minimum(csr.eids, cap)].set(
+        jnp.arange(cap, dtype=jnp.int32)
+    )
+    idx = pos_in_fwd[jnp.minimum(blk.eids, cap)]
+    return w[idx]
+
+
 def spmm(
     csr: CSR,
     node_feat: jnp.ndarray,
@@ -273,8 +334,17 @@ def spmm(
     ``StaticGraph.blocked_fwd``); when absent they are built on the fly,
     which requires concrete (non-traced) CSR arrays.
     """
+    if reduce == "sum" and node_feat.ndim == 3 and edge_weight is not None:
+        # Multi-head weighted aggregation (GAT): (N, H, F) feats with
+        # (capacity, H[, 1]) per-edge-per-head weights.
+        w = edge_weight.reshape(edge_weight.shape[0], -1)
+        if w.shape == (csr.capacity, node_feat.shape[1]):
+            blocked, blocked_t = _ensure_blocked(csr, blocked, blocked_t, csr_t)
+            return _make_spmm_multihead(blocked, blocked_t, csr, interpret)(
+                node_feat, w
+            )
     if reduce != "sum" or node_feat.ndim != 2:
-        # max/mean and >2-D features fall back to the jnp path for now.
+        # max/mean and other >2-D features fall back to the jnp path.
         return _msg.spmm(csr, node_feat, edge_weight, reduce=reduce, impl="jnp")
     weighted = edge_weight is not None
     if weighted:
@@ -283,10 +353,22 @@ def spmm(
             return _msg.spmm(csr, node_feat, edge_weight, reduce=reduce, impl="jnp")
     else:
         w = jnp.ones((csr.capacity,), jnp.float32)
+    blocked, blocked_t = _ensure_blocked(csr, blocked, blocked_t, csr_t)
+    return _make_spmm(blocked, blocked_t, weighted, interpret, csr)(node_feat, w)
+
+
+def _ensure_blocked(
+    csr: CSR,
+    blocked: Optional[BlockedCSR],
+    blocked_t: Optional[BlockedCSR],
+    csr_t: Optional[CSR],
+):
+    """Build missing blocked layouts host-side (requires concrete CSRs).
+
+    Inside a jit trace this still works when the CSR is a closed-over
+    constant — ensure_compile_time_eval makes the transpose eager.
+    """
     if blocked is None or blocked_t is None:
-        # Host-side layout build: requires concrete CSR arrays. Inside a jit
-        # trace this still works when the CSR is a closed-over constant —
-        # ensure_compile_time_eval makes the transpose eager.
         with jax.ensure_compile_time_eval():
             if blocked is None:
                 blocked = build_blocked(csr)
@@ -294,4 +376,4 @@ def spmm(
                 blocked_t = build_blocked(
                     csr_t if csr_t is not None else csr.transpose()
                 )
-    return _make_spmm(blocked, blocked_t, weighted, interpret, csr)(node_feat, w)
+    return blocked, blocked_t

@@ -104,3 +104,38 @@ def test_pallas_empty_rows(rng):
     for s, d in zip(src, dst):
         a[d, s] += 1.0
     np.testing.assert_allclose(out, a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_multihead(setup, rng):
+    """(N, H, F) feats with per-(edge, head) weights vs the jnp oracle."""
+    csr, _, a, src, dst = setup
+    n = csr.num_nodes
+    heads, f = 4, 16
+    h = jnp.asarray(rng.standard_normal((n, heads, f)).astype(np.float32))
+    w = jnp.asarray(rng.random((csr.capacity, heads)).astype(np.float32))
+    out = SP.spmm(csr, h, edge_weight=w, interpret=True)
+    oracle = M.spmm(csr, h, edge_weight=w, impl="jnp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_multihead_grads(setup, rng):
+    csr, _, a, src, dst = setup
+    n = csr.num_nodes
+    heads, f = 2, 8
+    h = jnp.asarray(rng.standard_normal((n, heads, f)).astype(np.float32))
+    w = jnp.asarray(rng.random((csr.capacity, heads)).astype(np.float32))
+
+    def loss_p(h, w):
+        return (SP.spmm(csr, h, edge_weight=w, interpret=True) ** 2).sum()
+
+    def loss_j(h, w):
+        return (M.spmm(csr, h, edge_weight=w, impl="jnp") ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(h, w)
+    gj = jax.grad(loss_j, argnums=(0, 1))(h, w)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gj[0]), rtol=1e-3, atol=1e-3)
+    # Weight grads only matter on real edges (padding has no effect).
+    mask = np.asarray(csr.edge_mask)
+    np.testing.assert_allclose(
+        np.asarray(gp[1])[mask], np.asarray(gj[1])[mask], rtol=1e-3, atol=1e-3
+    )
