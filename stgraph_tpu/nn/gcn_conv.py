@@ -13,7 +13,7 @@ lowering's SpMM peephole turns that whole formula into one fused
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as fnn
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ class GCNConv(fnn.Module):
     activation: Optional[Callable] = None
     use_bias: bool = True
     impl: str = "auto"
+    dtype: Optional[Any] = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @fnn.compact
     def __call__(self, graph, h: jnp.ndarray, edge_weight=None) -> jnp.ndarray:
@@ -47,9 +48,13 @@ class GCNConv(fnn.Module):
             "weight",
             fnn.initializers.xavier_uniform(),
             (self.in_feats, self.out_feats),
-            h.dtype,
+            jnp.float32 if self.dtype is not None else h.dtype,
         )
         norm = _get_norm(graph)
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+            weight = weight.astype(self.dtype)
+            norm = norm.astype(self.dtype)
         h = jnp.dot(h, weight, preferred_element_type=jnp.float32).astype(h.dtype)
 
         stgraph = STGraph()
@@ -85,9 +90,12 @@ class GCNConv(fnn.Module):
 
         if self.use_bias:
             bias = self.param(
-                "bias", fnn.initializers.zeros_init(), (self.out_feats,), h.dtype
+                "bias",
+                fnn.initializers.zeros_init(),
+                (self.out_feats,),
+                jnp.float32 if self.dtype is not None else h.dtype,
             )
-            h = h + bias
+            h = h + bias.astype(h.dtype)
         if self.activation is not None:
             h = self.activation(h)
         return h

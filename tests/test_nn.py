@@ -155,3 +155,27 @@ def test_training_reduces_loss(setup):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_gcn_conv_bf16_dtype(rng):
+    """dtype=bfloat16 computes in bf16 with f32 params."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GCNConv
+
+    n, e = 50, 200
+    g = StaticGraph(
+        np.stack([rng.integers(0, n, e), rng.integers(0, n, e)], 1), None, n
+    )
+    x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    conv = GCNConv(16, 8, dtype=jnp.bfloat16)
+    params = conv.init(jax.random.key(0), g, x)
+    assert params["params"]["weight"].dtype == jnp.float32
+    out = conv.apply(params, g, x)
+    assert out.dtype == jnp.bfloat16
+    ref = GCNConv(16, 8).apply(params, g, x)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=5e-2, atol=5e-1
+    )

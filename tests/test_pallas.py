@@ -139,3 +139,14 @@ def test_pallas_spmm_multihead_grads(setup, rng):
     np.testing.assert_allclose(
         np.asarray(gp[1])[mask], np.asarray(gj[1])[mask], rtol=1e-3, atol=1e-3
     )
+
+
+def test_pallas_spmm_bf16(setup):
+    """bf16 feats: accumulate f32, tolerances loosened to bf16 precision."""
+    csr, h, a, *_ = setup
+    hb = jnp.asarray(h).astype(jnp.bfloat16)
+    out = SP.spmm(csr, hb, interpret=True)
+    oracle = a @ h
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), oracle, rtol=2e-2, atol=2e-1
+    )
