@@ -46,21 +46,34 @@ def preprocess_deltas(
     (``dynamic_graph.py:56-79``): ``delta[t]['add']`` holds edges present at
     ``t`` but not ``t-1``; ``delta[t]['delete']`` the reverse. ``delta[0]``
     adds the whole initial edge set.
+
+    Implementation detail: edges are packed into int64 keys ``dst<<32 | src``
+    (the same packing GPMA stores device-side, ``gpma.cu:58-108``) so each
+    step's diff is two sorted-array set differences in C, not Python sets.
     """
     deltas: List[Dict[str, np.ndarray]] = []
-    prev: set = set()
+    prev = np.empty(0, dtype=np.int64)
     for edges in edge_lists:
-        cur = {(int(s), int(d)) for s, d in edges}
-        add = sorted(cur - prev, key=lambda e: (e[1], e[0]))
-        delete = sorted(prev - cur, key=lambda e: (e[1], e[0]))
+        e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        keys = np.unique((e[:, 1] << 32) | e[:, 0])  # sorted by (dst, src)
+        add = np.setdiff1d(keys, prev, assume_unique=True)
+        delete = np.setdiff1d(prev, keys, assume_unique=True)
         deltas.append(
             {
-                "add": np.asarray(add, dtype=np.int32).reshape(-1, 2),
-                "delete": np.asarray(delete, dtype=np.int32).reshape(-1, 2),
+                "add": _unpack(add),
+                "delete": _unpack(delete),
             }
         )
-        prev = cur
+        prev = keys
     return deltas
+
+
+def _unpack(keys: np.ndarray) -> np.ndarray:
+    """int64 (dst<<32|src) keys → (k, 2) int32 (src, dst) rows."""
+    out = np.empty((len(keys), 2), dtype=np.int32)
+    out[:, 0] = keys & 0xFFFFFFFF
+    out[:, 1] = keys >> 32
+    return out
 
 
 class DynamicGraph(STGraphBase):
