@@ -179,6 +179,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: compiles dominate wall time over the
+    # remote-TPU tunnel; cached executables make re-runs fast.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     gcn = bench_gcn_fwd_bwd()
     extras = {}

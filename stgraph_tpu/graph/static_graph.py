@@ -78,17 +78,25 @@ class StaticGraph(STGraphBase):
     @property
     def blocked_fwd(self):
         if getattr(self, "_blocked_fwd", None) is None:
+            import jax
+
             from stgraph_tpu.graph.blocked import build_blocked
 
-            self._blocked_fwd = build_blocked(self._forward_graph)
+            # Eager even when first touched inside a jit trace (the layout is
+            # concrete host data; without this, tracers leak into the cache).
+            with jax.ensure_compile_time_eval():
+                self._blocked_fwd = build_blocked(self._forward_graph)
         return self._blocked_fwd
 
     @property
     def blocked_bwd(self):
         if getattr(self, "_blocked_bwd", None) is None:
+            import jax
+
             from stgraph_tpu.graph.blocked import build_blocked
 
-            self._blocked_bwd = build_blocked(self._backward_graph)
+            with jax.ensure_compile_time_eval():
+                self._blocked_bwd = build_blocked(self._backward_graph)
         return self._blocked_bwd
 
     def get_num_nodes(self) -> int:

@@ -150,3 +150,23 @@ def test_pallas_spmm_bf16(setup):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), oracle, rtol=2e-2, atol=2e-1
     )
+
+
+def test_blocked_cache_not_traced(setup):
+    """Lazy blocked layouts first touched inside jit must stay concrete."""
+    from stgraph_tpu import StaticGraph
+
+    csr, h, a, src, dst = setup
+    g = StaticGraph(np.stack([src, dst], 1), None, csr.num_nodes)
+
+    @jax.jit
+    def touch(x):
+        _ = g.blocked_fwd, g.blocked_bwd
+        return x * 1.0
+
+    touch(jnp.ones(3))
+    # Using the cache outside the trace must not raise UnexpectedTracerError.
+    assert int(np.asarray(g.blocked_fwd.offsets)[0]) == 0
+    out = SP.spmm(csr, jnp.asarray(h), blocked=g.blocked_fwd,
+                  blocked_t=g.blocked_bwd, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
