@@ -35,6 +35,10 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from stgraph_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     import flax.linen as fnn
     import jax.numpy as jnp
     import optax
