@@ -36,6 +36,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -212,6 +213,89 @@ def segment_sum_blocked(
     return out[: blocked.num_nodes, :f]
 
 
+# Segmented execution: above this many gathered-feature bytes the SpMM
+# streams row-block segments so the (E, F) gather intermediate never
+# materializes in full — required at ogbn scale (1e8 edges).
+_SEGMENT_BYTES = 512 * 1024 * 1024
+
+
+def _segment_ranges(blocked: BlockedCSR, f_pad: int, itemsize: int):
+    """Split row blocks into segments whose gathered feats fit the budget."""
+    offsets = np.asarray(blocked.offsets, dtype=np.int64)
+    counts = np.asarray(blocked.counts, dtype=np.int64)
+    nb = blocked.num_blocks
+    budget = max(_SEGMENT_BYTES // max(f_pad * itemsize, 1), EDGE_CHUNK)
+    ranges = []
+    b0 = 0
+    while b0 < nb:
+        b1 = b0 + 1
+        edges = counts[b0]
+        while b1 < nb and edges + counts[b1] <= budget:
+            edges += counts[b1]
+            b1 += 1
+        ranges.append((b0, b1, int(offsets[b0]), int(offsets[b1 - 1] + counts[b1 - 1])))
+        b0 = b1
+    return ranges
+
+
+def _gather_scale_segment_sum(
+    blocked: BlockedCSR,
+    h_flat: jnp.ndarray,  # (N, F_flat) node features (rows indexed by cols)
+    w_blocked: jnp.ndarray,  # (CB,) blocked-order edge weights
+    interpret: bool,
+) -> jnp.ndarray:
+    """gather → weight → blocked segment-sum, streamed in row-block segments.
+
+    Each segment gathers only its own edges' source rows, so peak memory is
+    bounded by ``_SEGMENT_BYTES`` regardless of graph size. Single-segment
+    graphs take the direct path (no slicing overhead).
+    """
+    f = h_flat.shape[-1]
+    heads = 1 if w_blocked.ndim == 1 else w_blocked.shape[1]
+
+    def scale(gathered, w_slice):
+        if heads == 1:
+            w2 = w_slice.reshape(-1, 1)
+        else:  # per-head weights over flattened (H, F/H) lanes
+            w2 = jnp.repeat(w_slice, f // heads, axis=1)
+        return gathered * w2.astype(gathered.dtype)
+
+    itemsize = jnp.dtype(h_flat.dtype).itemsize
+    ranges = _segment_ranges(blocked, max(f, LANES), itemsize)
+    if len(ranges) <= 1:
+        gathered = scale(h_flat[blocked.cols], w_blocked)
+        return segment_sum_blocked(
+            blocked, jnp.ones((blocked.capacity,), jnp.float32), gathered, interpret
+        )
+
+    big = jnp.int32(2**30)  # off-range sentinel for shifted dst ids
+    n = blocked.num_nodes
+    outs = []
+    for (b0, b1, o0, o1) in ranges:
+        rows = (b1 - b0) * ROW_BLOCK
+        dst = blocked.dst[o0:o1]
+        dst = jnp.where(dst >= n, big, dst - b0 * ROW_BLOCK)
+        sub = BlockedCSR(
+            offsets=blocked.offsets[b0:b1] - o0,
+            counts=blocked.counts[b0:b1],
+            dst=dst,
+            cols=blocked.cols[o0:o1],
+            perm=blocked.perm[o0:o1],
+            eids=blocked.eids[o0:o1],
+            num_nodes=rows,  # only out-shape/sentinel bookkeeping below
+            num_rows_padded=rows,
+            csr_capacity=blocked.csr_capacity,
+        )
+        gathered = scale(h_flat[sub.cols], w_blocked[o0:o1])
+        outs.append(
+            segment_sum_blocked(
+                sub, jnp.ones((o1 - o0,), jnp.float32), gathered, interpret
+            )
+        )
+    out = jnp.concatenate(outs, axis=0)
+    return out[: blocked.num_nodes]
+
+
 def _to_blocked_w(blocked: BlockedCSR, w: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Permute (capacity,) CSR-order edge weights into blocked order.
 
@@ -230,9 +314,10 @@ def _make_spmm(
 
     @jax.custom_vjp
     def f(h, w):
-        feats = h[bf.cols]  # XLA gather; sentinel cols clamp to garbage rows
-        return segment_sum_blocked(
-            bf, _to_blocked_w(bf, w if weighted else None), feats, interpret
+        # Streaming gather+weight+reduce; sentinel cols clamp to garbage
+        # rows whose dst matches no block row.
+        return _gather_scale_segment_sum(
+            bf, h, _to_blocked_w(bf, w if weighted else None), interpret
         )
 
     def fwd(h, w):
@@ -244,7 +329,6 @@ def _make_spmm(
         # blocked layout. bb.cols are destinations. Weights live in fwd-CSR
         # order; route them through the shared user eids:
         #   transpose-blocked slot -> user eid -> fwd-CSR position.
-        gathered = g[bb.cols]
         if weighted:
             cap = csr.capacity
             pos_in_fwd = jnp.zeros((cap + 1,), jnp.int32)
@@ -255,7 +339,7 @@ def _make_spmm(
             w_t = w[pos_in_fwd[jnp.minimum(bb.eids, cap)]]
         else:
             w_t = jnp.ones((bb.capacity,), jnp.float32)
-        dh = segment_sum_blocked(bb, w_t, gathered, interpret)
+        dh = _gather_scale_segment_sum(bb, g, w_t, interpret)
         if weighted:
             dw = jnp.sum(h[csr.cols] * g[csr.rows], axis=-1)  # fused SDDMM
             dw = jnp.where(csr.edge_mask, dw, 0.0)
@@ -283,10 +367,8 @@ def _make_spmm_multihead(
     def f(h, w):
         n, heads, feat = h.shape
         wb = _to_blocked_w_mh(bf, csr, w)  # (CB, H) blocked order
-        gathered = h[bf.cols] * wb[:, :, None]  # fused gather+scale
-        ones = jnp.ones((bf.capacity,), jnp.float32)
-        out = segment_sum_blocked(
-            bf, ones, gathered.reshape(bf.capacity, heads * feat), interpret
+        out = _gather_scale_segment_sum(
+            bf, h.reshape(n, heads * feat), wb, interpret
         )
         return out.reshape(out.shape[0], heads, feat)
 
@@ -298,10 +380,8 @@ def _make_spmm_multihead(
         n, heads, feat = h.shape
         # dh[s,h,:] = sum_{e=(s,d)} w[e,h] * g[d,h,:]: transpose layout.
         wb_t = _to_blocked_w_mh(bb, csr, w)
-        gathered = g[bb.cols] * wb_t[:, :, None]
-        ones = jnp.ones((bb.capacity,), jnp.float32)
-        dh = segment_sum_blocked(
-            bb, ones, gathered.reshape(bb.capacity, heads * feat), interpret
+        dh = _gather_scale_segment_sum(
+            bb, g.reshape(g.shape[0], heads * feat), wb_t, interpret
         )[:n].reshape(n, heads, feat)
         # dw[e,h] = sum_f h[src_e,h,f] * g[dst_e,h,f]  (per-head SDDMM).
         dw = jnp.sum(h[csr.cols] * g[csr.rows], axis=-1)

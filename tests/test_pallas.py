@@ -170,3 +170,26 @@ def test_blocked_cache_not_traced(setup):
     out = SP.spmm(csr, jnp.asarray(h), blocked=g.blocked_fwd,
                   blocked_t=g.blocked_bwd, interpret=True)
     np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_segmented_spmm_matches(setup, rng, monkeypatch):
+    """Streaming (segmented) execution must match the single-shot path."""
+    csr, h, a, *_ = setup
+    # Force tiny segments: every row block becomes its own segment.
+    monkeypatch.setattr(SP, "_SEGMENT_BYTES", 1)
+    out = SP.spmm(csr, jnp.asarray(h), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), a @ h, rtol=1e-4, atol=1e-4)
+    # weighted + grads
+    w = jnp.asarray(rng.random(csr.capacity).astype(np.float32))
+
+    def loss(h_, w_):
+        return (SP.spmm(csr, h_, edge_weight=w_, interpret=True) ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(h), w)
+    monkeypatch.setattr(SP, "_SEGMENT_BYTES", 512 * 1024 * 1024)
+    g2 = jax.grad(loss, argnums=(0, 1))(jnp.asarray(h), w)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g2[0]), rtol=1e-3, atol=1e-3)
+    mask = np.asarray(csr.edge_mask)
+    np.testing.assert_allclose(
+        np.asarray(g[1])[mask], np.asarray(g2[1])[mask], rtol=1e-3, atol=1e-3
+    )
