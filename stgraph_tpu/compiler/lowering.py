@@ -54,18 +54,44 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
     prog, out_var = tr.program, tr.output
     param_values = tr.param_values
 
+    # Direction: 'osrc'/'oedge' leaves mean the program aggregates over
+    # out-edges; it then lowers against the transposed CSR (reference's
+    # Src-parallel mode, ``passes/fusion.py:294-297``). Mixing directions in
+    # one program is rejected, as in the reference's per-unit ParallelMode.
+    used = {v.leaf for s in prog.stmts for v in s.args if v.leaf}
+    if out_var.leaf:
+        used.add(out_var.leaf)
+    uses_out = any(l.startswith(("osrc:", "oedge:")) for l in used)
+    uses_in = any(l.startswith(("src:", "edge:")) for l in used)
+    if uses_out and uses_in:
+        raise NotImplementedError(
+            "a vertex program may aggregate over in-edges or out-edges, "
+            "not both (split it into two compiled programs)"
+        )
+
     def fn(gv: GraphView, n_feats: Dict[str, Any], e_feats: Dict[str, Any]):
         if isinstance(gv, CSR):
             gv = GraphView(csr=gv)
+        if uses_out:
+            # Flip the view: the transpose CSR becomes the forward graph.
+            csr_t = gv.csr_t
+            if csr_t is None:
+                csr_t = gv.csr.transpose()
+            gv = GraphView(
+                csr=csr_t,
+                csr_t=gv.csr,
+                blocked=gv.blocked_t,
+                blocked_t=gv.blocked,
+            )
         csr = gv.csr
         env: Dict[int, Any] = {}
         edge_env: Dict[int, Any] = {}  # per-var cache of edge-domain arrays
 
         def bind_leaf(v: Var) -> Any:
             kind, _, name = v.leaf.partition(":")
-            if kind in ("src", "dst"):
+            if kind in ("src", "dst", "osrc"):
                 return jnp.asarray(n_feats[name])
-            if kind == "edge":
+            if kind in ("edge", "oedge"):
                 e = jnp.asarray(e_feats[name])
                 e = _pad_edges(e, csr.capacity)
                 return M.edge_data_to_csr_order(csr, e)

@@ -56,12 +56,8 @@ class CentralNode:
     def __init__(self) -> None:
         self.innbs = [NbNode(self, EdgeDirection.IN)]
         self.inedges = [NbEdge(self, EdgeDirection.IN, self.innbs[0])]
-
-    @property
-    def outnbs(self):
-        raise NotImplementedError(
-            "out-neighbor aggregation is not yet supported; aggregate over "
-            "in-edges of the transposed graph instead"
-        )
-
-    outedges = outnbs
+        # Out-direction (reference ``node.py:21-26``): aggregations over
+        # ``v.outnbs`` / ``v.outedges`` lower against the transpose CSR. A
+        # single program must stick to one direction (checked at lowering).
+        self.outnbs = [NbNode(self, EdgeDirection.OUT)]
+        self.outedges = [NbEdge(self, EdgeDirection.OUT, self.outnbs[0])]

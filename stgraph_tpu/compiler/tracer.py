@@ -207,10 +207,18 @@ def trace(
         svar = prog.add_leaf(f"src:{name}", ValType.SRC, shape, dtype)
         for nb in cen.innbs:
             setattr(nb, name, TracedValue(prog, svar, _probe(shape, dtype)))
+        # Out-direction: the neighbor across an out-edge plays the SRC role
+        # in the transposed graph ('osrc' leaves; lowering swaps to csr_t).
+        ovar = prog.add_leaf(f"osrc:{name}", ValType.SRC, shape, dtype)
+        for nb in cen.outnbs:
+            setattr(nb, name, TracedValue(prog, ovar, _probe(shape, dtype)))
     for name, (shape, dtype) in e_feats_spec.items():
         evar = prog.add_leaf(f"edge:{name}", ValType.EDGE, shape, dtype)
         for e in cen.inedges:
             setattr(e, name, TracedValue(prog, evar, _probe(shape, dtype)))
+        oevar = prog.add_leaf(f"oedge:{name}", ValType.EDGE, shape, dtype)
+        for e in cen.outedges:
+            setattr(e, name, TracedValue(prog, oevar, _probe(shape, dtype)))
 
     out = f(cen)
     if not isinstance(out, TracedValue):

@@ -191,3 +191,47 @@ def test_captured_scalar_becomes_param(setup):
 def test_vertex_program_not_iterable_guard():
     with pytest.raises(TypeError):
         trace(lambda v: [x for x in v.h][0], {"h": ((8,), np.float32)}, {})
+
+
+def test_out_direction_aggregation(rng):
+    """sum over v.outnbs == transpose aggregation (A^T @ h)."""
+    import jax.numpy as jnp
+
+    from stgraph_tpu import StaticGraph, STGraph
+
+    n, e = 40, 160
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = StaticGraph(np.stack([src, dst], 1), None, n)
+    h = jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32))
+
+    sg = STGraph()
+
+    @sg.compile()
+    def out_sum(v):
+        return sum([nb.h for nb in v.outnbs])
+
+    out = out_sum(g, n_feats={"h": h})
+    a = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0
+    np.testing.assert_allclose(np.asarray(out), a.T @ np.asarray(h), rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_direction_rejected(rng):
+    import jax.numpy as jnp
+    import pytest
+
+    from stgraph_tpu import StaticGraph, STGraph
+
+    n = 10
+    g = StaticGraph([(0, 1), (1, 2)], None, n)
+    h = jnp.ones((n, 3), jnp.float32)
+    sg = STGraph()
+
+    @sg.compile()
+    def mixed(v):
+        return sum([nb.h for nb in v.innbs]) + sum([nb.h for nb in v.outnbs])
+
+    with pytest.raises(NotImplementedError):
+        mixed(g, n_feats={"h": h})
