@@ -61,6 +61,8 @@ def main() -> None:
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--results_csv", default="")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each timestep (trade FLOPs for HBM)")
     args = ap.parse_args()
 
     import jax
@@ -123,6 +125,11 @@ def main() -> None:
                 y_hat = head.apply(hp, h)[:, 0]
                 return h, m_t * jnp.mean((y_hat - y_t) ** 2)
 
+            if args.remat:
+                # Rematerialize each timestep in backward: O(1) live
+                # activations per step instead of O(window) — the lever for
+                # very long sequences (SURVEY §5.7).
+                body = jax.checkpoint(body)
             h_out, losses = jax.lax.scan(body, hidden, (xw, yw, mw))
             return losses.sum() / jnp.maximum(mw.sum(), 1.0), h_out
 
