@@ -47,6 +47,11 @@ __all__ = [
 # HBM so large graphs route to the sparse kernels.
 _DENSE_BUDGET_BYTES = 64 * 1024 * 1024
 
+# Minimum edge capacity for the 'auto' Pallas route. Below this the jnp
+# sorted-segment path is competitive, and each new Pallas kernel variant
+# pays a multi-minute Mosaic compile on remote-TPU setups.
+_PALLAS_MIN_EDGES = 200_000
+
 
 def gather_src(csr: CSR, node_feat: jnp.ndarray) -> jnp.ndarray:
     """Per-edge source features: ``node_feat[src]`` in CSR edge order."""
@@ -138,7 +143,15 @@ def spmm(
     if impl == "dense" and not (
         edge_weight is None or edge_weight.size == csr.capacity
     ):
-        impl = "pallas" if (blocked is not None and _on_tpu()) else "jnp"
+        impl = (
+            "pallas"
+            if (
+                blocked is not None
+                and _on_tpu()
+                and csr.capacity >= _PALLAS_MIN_EDGES
+            )
+            else "jnp"
+        )
     if impl == "dense" and reduce == "sum":
         a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
         flat = node_feat.reshape(node_feat.shape[0], -1)
@@ -197,7 +210,12 @@ def _resolve_impl(
     itemsize = jnp.dtype(node_feat.dtype).itemsize
     if reduce == "sum" and n * n * itemsize <= _DENSE_BUDGET_BYTES:
         return "dense"
-    if reduce == "sum" and has_blocked and _on_tpu():
+    if (
+        reduce == "sum"
+        and has_blocked
+        and _on_tpu()
+        and csr.capacity >= _PALLAS_MIN_EDGES
+    ):
         return "pallas"
     return "jnp"
 
