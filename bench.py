@@ -188,19 +188,11 @@ def main():
         pass
 
     gcn = bench_gcn_fwd_bwd()
-    extras = {}
-    if not args.quick:
-        try:
-            extras.update(bench_tgcn_epoch())
-        except Exception as exc:
-            print(f"tgcn bench failed: {exc}", file=sys.stderr)
-        try:
-            extras.update(bench_pallas_spmm())
-        except Exception as exc:
-            print(f"pallas bench failed: {exc}", file=sys.stderr)
-    for k, v in {**gcn, **extras}.items():
+    for k, v in gcn.items():
         print(f"  {k}: {v}", file=sys.stderr)
-
+    # Print the headline line FIRST: the secondary benches each pay a
+    # multi-minute Mosaic kernel compile on remote TPUs, and the headline
+    # must survive an external timeout.
     print(
         json.dumps(
             {
@@ -209,8 +201,17 @@ def main():
                 "unit": "edges/s/chip",
                 "vs_baseline": 1.0,
             }
-        )
+        ),
+        flush=True,
     )
+
+    if not args.quick:
+        for name, fn in (("tgcn", bench_tgcn_epoch), ("pallas", bench_pallas_spmm)):
+            try:
+                for k, v in fn().items():
+                    print(f"  {k}: {v}", file=sys.stderr)
+            except Exception as exc:
+                print(f"{name} bench failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":
