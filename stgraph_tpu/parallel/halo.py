@@ -56,15 +56,34 @@ def dist_spmm(
     dg: DistGraph,
     h: jnp.ndarray,
     axis: str = "graph",
+    overlap: bool = True,
 ) -> jnp.ndarray:
     """out[d] = sum over in-edges of h[src], edge-partitioned over ``axis``.
 
     ``h`` is the (P·Ns, F) node-sharded feature array; returns the same
     sharding. Unweighted sum aggregation (GCN folds its normalization into
     node features; fused-weight variants follow the same pattern).
+
+    ``overlap=True`` aggregates interior edges (local sources) as a
+    separate reduction with no data dependency on the halo ``all_to_all``,
+    so XLA's async collectives hide the exchange behind it; the frontier
+    edges then reduce over the received halo buffer alone. ``False`` keeps
+    the single-reduction formulation over the widened ``[local | halo]``
+    buffer (used by the equivalence tests).
     """
     f = h.shape[-1]
     ns, k, p = dg.nodes_per_shard, dg.halo_size, dg.num_shards
+
+    def _unstack_csr(stacked) -> CSR:
+        c = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        return CSR(
+            indptr=c.indptr,
+            rows=c.rows,
+            cols=c.cols,
+            eids=c.eids,
+            num_nodes=ns,
+            num_edges=c.num_edges,
+        )
 
     @partial(
         shard_map,
@@ -72,30 +91,28 @@ def dist_spmm(
         in_specs=(
             P(axis),  # send_idx stacked over shards
             P(axis),  # local_csr pytree (prefix spec: dim0 of every leaf)
+            P(axis),  # interior_csr
+            P(axis),  # frontier_csr
             P(axis, None),  # h rows
         ),
         out_specs=P(axis, None),
     )
-    def _fwd(send_idx, local_csr, h_local):
+    def _fwd(send_idx, local_csr, interior_csr, frontier_csr, h_local):
         send_idx = send_idx[0]  # (P, K) — leading shard dim of size 1
-        csr = jax.tree_util.tree_map(lambda x: x[0], local_csr)
-        csr = CSR(
-            indptr=csr.indptr,
-            rows=csr.rows,
-            cols=csr.cols,
-            eids=csr.eids,
-            num_nodes=ns,
-            num_edges=csr.num_edges,
-        )
         # 1. halo send buffer: rows other shards asked for.
         send = h_local[send_idx]  # (P, K, F)
         # 2. exchange over ICI. split/concat on the shard axis.
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
-        # 3. widened buffer and one local segment reduction. XLA may
-        # overlap (2) with the interior part of (3) since interior edges
-        # only read h_local.
+        if overlap:
+            # 3a. interior reduction — independent of the collective, so it
+            # executes between all_to_all-start and -done.
+            interior = M.spmm(_unstack_csr(interior_csr), h_local, impl="jnp")
+            # 3b. frontier reduction over the received halo buffer.
+            frontier = M.spmm(
+                _unstack_csr(frontier_csr), recv.reshape(p * k, f), impl="jnp"
+            )
+            return interior + frontier
         buf = jnp.concatenate([h_local, recv.reshape(p * k, f)], axis=0)
-        out = M.spmm(csr, buf, impl="jnp")
-        return out
+        return M.spmm(_unstack_csr(local_csr), buf, impl="jnp")
 
-    return _fwd(dg.send_idx, dg.local_csr, h)
+    return _fwd(dg.send_idx, dg.local_csr, dg.interior_csr, dg.frontier_csr, h)

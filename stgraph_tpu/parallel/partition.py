@@ -43,6 +43,11 @@ class DistGraph(NamedTuple):
         shard-local destinations in [0, Ns); cols index the concatenated
         [local rows (Ns) | halo buffer (P*K)] space; ``num_nodes`` is Ns
         (so sentinel/edge-mask logic keeps working per shard).
+      interior_csr / frontier_csr: the same edges split by source locality —
+        interior edges read only local rows (cols in [0, Ns)), frontier
+        edges read only the halo buffer (cols re-based into [0, P*K)). The
+        split is what lets the interior aggregation overlap the halo
+        ``all_to_all`` (no data dependency on the collective).
       send_idx: (P, P, K) int32 — ``send_idx[p, q]``: p-local row indices
         to ship to shard q (0-padded; receivers never read padding).
       num_nodes: global node count (unpadded).
@@ -52,6 +57,8 @@ class DistGraph(NamedTuple):
     """
 
     local_csr: CSR
+    interior_csr: CSR
+    frontier_csr: CSR
     send_idx: jnp.ndarray
     num_nodes: int
     nodes_per_shard: int
@@ -105,10 +112,15 @@ def partition_edges(
             send_idx[pp, q, : len(ids)] = ids - pp * ns
 
     # Remap each shard's edge sources into [local | halo] space and build
-    # uniformly-padded local CSRs.
+    # uniformly-padded local CSRs, plus the interior/frontier split that
+    # enables compute/communication overlap.
     max_e = max((len(e) for e in shard_edges), default=0)
     cap = max(((max_e + 511) // 512) * 512, 512)
     csrs: List[CSR] = []
+    int_csrs: List[CSR] = []
+    fro_csrs: List[CSR] = []
+    max_int = max_fro = 0
+    split: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for pp in range(p):
         idx = shard_edges[pp]
         l_dst = dst[idx] - pp * ns
@@ -126,10 +138,26 @@ def partition_edges(
             pos = np.searchsorted(need[pp][q], g_src[sel])
             l_src[sel] = ns + q * k + pos
         csrs.append(_build_local_csr(l_src, l_dst, ns, cap))
+        split.append((l_src, l_dst, local))
+        max_int = max(max_int, int(local.sum()))
+        max_fro = max(max_fro, int((~local).sum()))
 
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *csrs)
+    cap_int = max(((max_int + 511) // 512) * 512, 512)
+    cap_fro = max(((max_fro + 511) // 512) * 512, 512)
+    for l_src, l_dst, local in split:
+        int_csrs.append(_build_local_csr(l_src[local], l_dst[local], ns, cap_int))
+        # Frontier cols re-based into the (P*K,) halo buffer space.
+        fro_csrs.append(
+            _build_local_csr(l_src[~local] - ns, l_dst[~local], ns, cap_fro)
+        )
+
+    def _stack(cs):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cs)
+
     return DistGraph(
-        local_csr=stacked,
+        local_csr=_stack(csrs),
+        interior_csr=_stack(int_csrs),
+        frontier_csr=_stack(fro_csrs),
         send_idx=jnp.asarray(send_idx),
         num_nodes=num_nodes,
         nodes_per_shard=ns,

@@ -97,3 +97,32 @@ def test_uneven_nodes_partition(rng):
     for s, d in zip(src, dst):
         a[d, s] += 1.0
     np.testing.assert_allclose(out, a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_split_matches_combined(rng):
+    """interior+frontier formulation == single widened reduction == dense."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stgraph_tpu.parallel import dist_spmm, partition_edges, shard_node_array
+
+    n, e, p = 96, 400, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = jnp.asarray(rng.standard_normal((n, 6)).astype(np.float32))
+    hs = shard_node_array(mesh, h, dg)
+    out_overlap = dist_spmm(mesh, dg, hs, overlap=True)
+    out_combined = dist_spmm(mesh, dg, hs, overlap=False)
+    a = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0
+    dense = a @ np.asarray(h)
+    np.testing.assert_allclose(
+        np.asarray(out_overlap)[:n], dense, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_overlap), np.asarray(out_combined), rtol=1e-5, atol=1e-5
+    )
