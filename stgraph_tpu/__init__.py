@@ -21,7 +21,7 @@ A from-scratch re-design of the capabilities of STGraph (reference:
   single-GPU only.
 """
 
-from stgraph_tpu import compiler, dataset, graph, nn, ops, parallel, utils
+from stgraph_tpu import compiler, dataset, graph, nn, ops, parallel, serve, utils
 from stgraph_tpu.compiler.stgraph import STGraph
 from stgraph_tpu.graph import CSR, StaticGraph
 
@@ -37,5 +37,6 @@ __all__ = [
     "nn",
     "ops",
     "parallel",
+    "serve",
     "utils",
 ]
