@@ -7,11 +7,21 @@ partitioner in ``partition.py``; shard_map halo-exchange SpMM in
 
 from stgraph_tpu.parallel.halo import dist_spmm, replicate, shard_node_array
 from stgraph_tpu.parallel.mesh import make_mesh
+from stgraph_tpu.parallel.layers import (
+    dist_gcn_conv,
+    dist_gcn_params,
+    dist_tgcn_cell,
+    dist_tgcn_params,
+)
 from stgraph_tpu.parallel.partition import DistGraph, partition_edges
 
 __all__ = [
     "DistGraph",
+    "dist_gcn_conv",
+    "dist_gcn_params",
     "dist_spmm",
+    "dist_tgcn_cell",
+    "dist_tgcn_params",
     "make_mesh",
     "partition_edges",
     "replicate",
