@@ -28,6 +28,53 @@ import time
 import numpy as np
 
 
+class _SyntheticDTDG:
+    """Adapter over dataset_builder.py JSON: lags-windowed degree features."""
+
+    def __init__(self, path: str, lags: int) -> None:
+        import json
+
+        with open(path) as fh:
+            data = json.load(fh)
+        t_count = int(data["time_periods"])
+        em = data["edge_mapping"]
+        self._edges = [
+            [tuple(e) for e in em["edge_index"][str(t)]] for t in range(t_count)
+        ]
+        ws = em.get("edge_weight", {})
+        self._weights = [
+            ws.get(str(t), [1.0] * len(self._edges[t])) for t in range(t_count)
+        ]
+        n = 1 + max(
+            (max(max(e) for e in edges) for edges in self._edges if edges),
+            default=0,
+        )
+        # Feature: lags window of per-node out-degree (a stand-in target the
+        # reference also synthesizes for custom datasets).
+        deg = np.zeros((t_count, n), np.float32)
+        for t, edges in enumerate(self._edges):
+            for s, d_ in edges:
+                deg[t, s] += 1.0
+        deg /= max(deg.max(), 1.0)
+        self._feats = [
+            deg[t : t + lags].T for t in range(t_count - lags)
+        ]  # (N, lags) per step
+        self._targets = [deg[t + lags] for t in range(t_count - lags)]
+        self.gdata = {"num_nodes": n}
+
+    def get_edges(self):
+        return self._edges
+
+    def get_edge_weights(self):
+        return self._weights
+
+    def get_all_features(self):
+        return self._feats
+
+    def get_all_targets(self):
+        return self._targets
+
+
 def main() -> None:
     ap = argparse.ArgumentParser("dynamic-temporal TGCN benchmark")
     ap.add_argument("--dataset", default="england_covid")
@@ -57,7 +104,13 @@ def main() -> None:
     from stgraph_tpu.utils import DataTable
 
     lags = args.feat_size
-    d = EnglandCovidDataLoader(lags=lags)
+    if args.dataset.endswith(".json"):
+        # Synthetic DTDG from benchmarking/dataset/dataset_builder.py —
+        # the reference's custom-dataset path (dynamic-bench.sh --slide-size
+        # sweeps over such files).
+        d = _SyntheticDTDG(args.dataset, lags)
+    else:
+        d = EnglandCovidDataLoader(lags=lags)
     edge_lists = d.get_edges()
     weight_lists = d.get_edge_weights()
 
