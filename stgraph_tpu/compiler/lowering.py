@@ -113,9 +113,9 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
                 return edge_env[v.id]
             arr = node_val(v)
             if v.val_type == ValType.SRC:
-                arr = arr[csr.cols]
+                arr = _fold(lambda a: a[csr.cols], arr)
             elif v.val_type == ValType.DEST:
-                arr = arr[csr.rows]
+                arr = _fold(lambda a: a[csr.rows], arr)
             # PARAM: broadcasts as-is.
             edge_env[v.id] = arr
             return arr
@@ -124,14 +124,28 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
             if stmt.op.startswith("Agg"):
                 val = _lower_agg(stmt, gv, as_edge, node_val, impl)
             elif stmt.ret.val_type == ValType.EDGE:
-                val = stmt.fn(*[as_edge(a) for a in stmt.args], **stmt.kwargs)
+                val = _fold(stmt.fn, *[as_edge(a) for a in stmt.args], **stmt.kwargs)
             else:
-                val = stmt.fn(*[node_val(a) for a in stmt.args], **stmt.kwargs)
+                val = _fold(stmt.fn, *[node_val(a) for a in stmt.args], **stmt.kwargs)
             env[stmt.ret.id] = val
 
         return node_val(out_var)
 
     return fn
+
+
+def _fold(f, *args, **kwargs):
+    """Compile-time constant folding: run ``f`` eagerly when no argument is
+    traced. Inside a jit trace this keeps graph-derived constants (degree
+    norms, edge-weight products) concrete, so downstream consumers — e.g.
+    the dense-adjacency build — happen once at trace time instead of every
+    step."""
+    import jax
+
+    if any(isinstance(a, jax.core.Tracer) for a in args):
+        return f(*args, **kwargs)
+    with jax.ensure_compile_time_eval():
+        return f(*args, **kwargs)
 
 
 def _pad_edges(e: jnp.ndarray, capacity: int) -> jnp.ndarray:

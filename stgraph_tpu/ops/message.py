@@ -153,7 +153,17 @@ def spmm(
             else "jnp"
         )
     if impl == "dense" and reduce == "sum":
-        a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
+        # Build A at trace time when graph and weights are concrete: the
+        # scatter then runs once per trace, not once per step.
+        w_c = edge_weight
+        if not any(
+            isinstance(a, jax.core.Tracer)
+            for a in (csr.rows, csr.cols) + (() if w_c is None else (w_c,))
+        ):
+            with jax.ensure_compile_time_eval():
+                a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
+        else:
+            a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
         flat = node_feat.reshape(node_feat.shape[0], -1)
         out = jnp.dot(a, flat, preferred_element_type=jnp.float32)
         return out.astype(node_feat.dtype).reshape(node_feat.shape)
