@@ -146,12 +146,22 @@ def main() -> None:
         t0 = time.perf_counter()
         hidden = jnp.zeros((n, args.num_hidden))
         tot = 0.0
-        for wi in range(n_windows):
-            ps, opt_state, hidden, loss = window_step(
-                ps, opt_state, hidden, feats_w[wi], ys_w[wi], mask_w[wi]
-            )
-            tot += float(loss) * float(mask_w[wi].sum())
-        jax.block_until_ready(loss)
+        try:
+            for wi in range(n_windows):
+                ps, opt_state, hidden, loss = window_step(
+                    ps, opt_state, hidden, feats_w[wi], ys_w[wi], mask_w[wi]
+                )
+                tot += float(loss) * float(mask_w[wi].sum())
+            jax.block_until_ready(loss)
+        except (RuntimeError, jax.errors.JaxRuntimeError) as exc:
+            # Device OOM parity with the reference's OOM row
+            # (static-temporal-tgcn/seastar/train.py:212-218).
+            if "RESOURCE_EXHAUSTED" in str(exc) or "out of memory" in str(exc).lower():
+                table.add_row([epoch, "OOM", "OOM"])
+                table.display()
+                print("^^^OOM^^^OOM")
+                return
+            raise
         dt = time.perf_counter() - t0
         if epoch >= 3:
             times.append(dt)
