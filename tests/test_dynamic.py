@@ -116,3 +116,21 @@ def test_transpose_of_snapshot(rng):
         zip(np.asarray(bwd.cols)[valid].tolist(), b_rows[valid].tolist())
     )
     assert f_pairs == b_pairs
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_apply_delta_randomized_vs_set_oracle(seed):
+    """Random add/delete batches replay to exactly the per-step edge sets."""
+    rng = np.random.default_rng(seed)
+    n, t = 25, 8
+    snaps = _random_snapshots(rng, n=n, t=t, base=30, churn=12)
+    dg = DeltaGraph(snaps)
+    for ti in range(t):
+        csr = dg.get_graph(ti)
+        rows = np.asarray(csr.rows)
+        cols = np.asarray(csr.cols)
+        mask = rows < n
+        got = set(zip(cols[mask].tolist(), rows[mask].tolist()))  # (src, dst)
+        expect = set(snaps[ti])
+        assert got == expect, f"t={ti}: {got ^ expect}"
+        assert int(np.asarray(csr.num_edges)) == len(expect)
