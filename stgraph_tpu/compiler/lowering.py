@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from stgraph_tpu.compiler.ir import Program, Stmt, ValType, Var
 from stgraph_tpu.compiler.tracer import TraceResult
@@ -90,11 +91,11 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
         def bind_leaf(v: Var) -> Any:
             kind, _, name = v.leaf.partition(":")
             if kind in ("src", "dst", "osrc"):
-                return jnp.asarray(n_feats[name])
+                return _host_or_traced(n_feats[name])
             if kind in ("edge", "oedge"):
-                e = jnp.asarray(e_feats[name])
-                e = _pad_edges(e, csr.capacity)
-                return M.edge_data_to_csr_order(csr, e)
+                e = _host_or_traced(e_feats[name])
+                e = _fold(lambda a: _pad_edges(jnp.asarray(a), csr.capacity), e)
+                return _fold(M.edge_data_to_csr_order, csr, e)
             if kind == "param":
                 return param_values[v.leaf]
             raise KeyError(v.leaf)
@@ -112,10 +113,12 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
             if v.id in edge_env:
                 return edge_env[v.id]
             arr = node_val(v)
+            # jnp.asarray inside the fold: sentinel ids rely on XLA's
+            # clamped out-of-range gather; numpy indexing would raise.
             if v.val_type == ValType.SRC:
-                arr = _fold(lambda a: a[csr.cols], arr)
+                arr = _fold(lambda a: jnp.asarray(a)[csr.cols], arr)
             elif v.val_type == ValType.DEST:
-                arr = _fold(lambda a: a[csr.rows], arr)
+                arr = _fold(lambda a: jnp.asarray(a)[csr.rows], arr)
             # PARAM: broadcasts as-is.
             edge_env[v.id] = arr
             return arr
@@ -134,18 +137,36 @@ def lower(tr: TraceResult, impl: str = "auto") -> Callable:
     return fn
 
 
+def _host_or_traced(v):
+    """Concrete inputs stay host numpy (constants embed without device
+    round-trips); traced inputs pass through."""
+    import jax
+
+    if isinstance(v, jax.core.Tracer):
+        return v
+    return np.asarray(v)
+
+
 def _fold(f, *args, **kwargs):
     """Compile-time constant folding: run ``f`` eagerly when no argument is
     traced. Inside a jit trace this keeps graph-derived constants (degree
     norms, edge-weight products) concrete, so downstream consumers — e.g.
     the dense-adjacency build — happen once at trace time instead of every
-    step."""
+    step.
+
+    Folding runs on the CPU backend and returns numpy: a folded constant
+    must be HOST data, because embedding a device array as an MLIR constant
+    triggers a device->host pull at every lowering — seconds-to-minutes
+    over a remote-TPU tunnel (docs/PERF.md).
+    """
     import jax
 
     if any(isinstance(a, jax.core.Tracer) for a in args):
         return f(*args, **kwargs)
-    with jax.ensure_compile_time_eval():
-        return f(*args, **kwargs)
+    cpu = jax.devices("cpu")[0]
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        out = f(*args, **kwargs)
+    return jax.tree_util.tree_map(np.asarray, out)
 
 
 def _pad_edges(e: jnp.ndarray, capacity: int) -> jnp.ndarray:

@@ -85,12 +85,12 @@ def build_blocked(csr: CSR, edge_chunk: int = EDGE_CHUNK) -> BlockedCSR:
         offsets, counts, bdst, bcols, bperm, beids = built
         n_pad = max(((n + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK, ROW_BLOCK)
         return BlockedCSR(
-            offsets=jnp.asarray(offsets.astype(np.int32)),
-            counts=jnp.asarray(counts.astype(np.int32)),
-            dst=jnp.asarray(bdst),
-            cols=jnp.asarray(bcols),
-            perm=jnp.asarray(bperm),
-            eids=jnp.asarray(beids),
+            offsets=offsets.astype(np.int32),
+            counts=counts.astype(np.int32),
+            dst=bdst,
+            cols=bcols,
+            perm=bperm,
+            eids=beids,
             num_nodes=n,
             num_rows_padded=n_pad,
             csr_capacity=cap,
@@ -130,13 +130,14 @@ def build_blocked(csr: CSR, edge_chunk: int = EDGE_CHUNK) -> BlockedCSR:
         bperm[o : o + c] = np.arange(s, s + c, dtype=np.int32)
         beids[o : o + c] = eids[s : s + c]
 
+    # Host numpy leaves on purpose — see csr._make_csr_with_host.
     return BlockedCSR(
-        offsets=jnp.asarray(offsets.astype(np.int32)),
-        counts=jnp.asarray(pad_counts.astype(np.int32)),
-        dst=jnp.asarray(bdst),
-        cols=jnp.asarray(bcols),
-        perm=jnp.asarray(bperm),
-        eids=jnp.asarray(beids),
+        offsets=offsets.astype(np.int32),
+        counts=pad_counts.astype(np.int32),
+        dst=bdst,
+        cols=bcols,
+        perm=bperm,
+        eids=beids,
         num_nodes=n,
         num_rows_padded=n_pad,
         csr_capacity=cap,

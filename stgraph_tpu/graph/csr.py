@@ -257,23 +257,28 @@ def build_csr(
 
 
 def _make_csr_with_host(indptr, rows, cols, eids, num_nodes: int, num_edges: int) -> CSR:
-    """Device CSR that keeps its numpy originals for host layout passes."""
+    """CSR whose leaves are HOST numpy arrays.
+
+    Deliberate: graph structure is a compile-time constant of jitted
+    programs. Numpy leaves embed directly into the lowered module and XLA
+    uploads them host->device once per executable; device-array leaves
+    would be pulled device->host at every lowering ("_value" in jax's MLIR
+    constant handler) — a transfer that costs seconds-to-minutes over
+    remote-TPU tunnels (docs/PERF.md). Host layout passes read the same
+    arrays for free."""
+    host = (
+        np.ascontiguousarray(indptr),
+        np.ascontiguousarray(rows),
+        np.ascontiguousarray(cols),
+        np.ascontiguousarray(eids),
+    )
     csr = CSR(
-        indptr=jnp.asarray(indptr),
-        rows=jnp.asarray(rows),
-        cols=jnp.asarray(cols),
-        eids=jnp.asarray(eids),
+        indptr=host[0],
+        rows=host[1],
+        cols=host[2],
+        eids=host[3],
         num_nodes=num_nodes,
         num_edges=num_edges,
     )
-    object.__setattr__(
-        csr,
-        "_host",
-        (
-            np.asarray(indptr),
-            np.asarray(rows),
-            np.asarray(cols),
-            np.asarray(eids),
-        ),
-    )
+    object.__setattr__(csr, "_host", host)
     return csr

@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional
 
 import flax.linen as fnn
 import jax.numpy as jnp
+import numpy as np
 
 from stgraph_tpu.compiler import STGraph
 from stgraph_tpu.utils.norm import symmetric_norm
@@ -108,12 +109,15 @@ def _get_norm(graph) -> jnp.ndarray:
     (``gcn_conv.py:151-156``); we honor that but compute the standard
     ``deg^{-1/2}`` automatically when absent.
     """
+    import jax
+
     norm = None
     if hasattr(graph, "get_ndata"):
         norm = graph.get_ndata("norm")
     if norm is None:
         norm = symmetric_norm(graph)
-    norm = jnp.asarray(norm)
+    if not isinstance(norm, jax.core.Tracer):
+        norm = np.asarray(norm)  # host constant: embeds without device pulls
     if norm.ndim != 2 or norm.shape[1] != 1:
         raise ValueError("node data 'norm' must have shape (num_nodes, 1)")
     return norm

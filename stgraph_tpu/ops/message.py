@@ -154,14 +154,21 @@ def spmm(
         )
     if impl == "dense" and reduce == "sum":
         # Build A at trace time when graph and weights are concrete: the
-        # scatter then runs once per trace, not once per step.
+        # scatter then runs once per trace, not once per step. Folded on the
+        # CPU backend and kept as HOST numpy — embedding a device-array
+        # constant would pull it device->host at every lowering, which is
+        # pathologically slow over remote-TPU tunnels (docs/PERF.md).
         w_c = edge_weight
         if not any(
             isinstance(a, jax.core.Tracer)
             for a in (csr.rows, csr.cols) + (() if w_c is None else (w_c,))
         ):
-            with jax.ensure_compile_time_eval():
+            import numpy as _np
+
+            cpu = jax.devices("cpu")[0]
+            with jax.ensure_compile_time_eval(), jax.default_device(cpu):
                 a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
+            a = _np.asarray(a)
         else:
             a = csr_to_dense(csr, edge_weight, dtype=node_feat.dtype)
         flat = node_feat.reshape(node_feat.shape[0], -1)

@@ -25,7 +25,10 @@ def symmetric_norm(graph) -> jnp.ndarray:
     if isinstance(indptr, np.ndarray) or not _is_traced(indptr):
         deg = np.diff(np.asarray(indptr)).astype(np.float32)
         norm = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 1.0)
-        return jnp.asarray(norm[:, None].astype(np.float32))
+        # Host numpy on purpose: this becomes a closed-over constant of
+        # jitted layers; device-array constants cost a device->host pull
+        # per lowering on remote-TPU setups (docs/PERF.md).
+        return norm[:, None].astype(np.float32)
     deg = (indptr[1:] - indptr[:-1]).astype(jnp.float32)
     norm = jnp.where(deg > 0, jnp.power(jnp.maximum(deg, 1.0), -0.5), 1.0)
     return norm[:, None]
