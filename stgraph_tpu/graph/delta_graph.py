@@ -105,6 +105,44 @@ def apply_delta(
     return EdgeStore(rows=rows, cols=cols, num_edges=num_edges, num_nodes=n)
 
 
+def _apply_delta_np(
+    store: EdgeStore,
+    add_rows: np.ndarray,
+    add_cols: np.ndarray,
+    del_rows: np.ndarray,
+    del_cols: np.ndarray,
+) -> EdgeStore:
+    """Numpy mirror of ``apply_delta`` (same semantics, host execution)."""
+    n = store.num_nodes
+    rows = np.concatenate([np.asarray(store.rows), add_rows, del_rows])
+    cols = np.concatenate([np.asarray(store.cols), add_cols, del_cols])
+    tomb = np.concatenate(
+        [
+            np.zeros(len(store.rows) + len(add_rows), bool),
+            np.ones(len(del_rows), bool),
+        ]
+    )
+    order = np.lexsort((tomb, cols, rows))  # stable; tombstones after edges
+    rows, cols, tomb = rows[order], cols[order], tomb[order]
+    nxt_tomb = np.concatenate([tomb[1:], [False]])
+    same_key = np.concatenate(
+        [(rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1]), [False]]
+    )
+    dead = tomb | (nxt_tomb & same_key & ~tomb)
+    rows = np.where(dead, n, rows).astype(np.int32)
+    cols = np.where(dead, n, cols).astype(np.int32)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    capacity = len(store.rows)
+    rows, cols = rows[:capacity], cols[:capacity]
+    return EdgeStore(
+        rows=rows,
+        cols=cols,
+        num_edges=np.int32(np.sum(rows < n)),
+        num_nodes=n,
+    )
+
+
 def edge_store_to_csr(store: EdgeStore) -> CSR:
     """Materialize a CSR view: rebuild indptr and relabel eids 0..E-1.
 
@@ -115,6 +153,28 @@ def edge_store_to_csr(store: EdgeStore) -> CSR:
     # num_nodes rides through jitted apply_delta as an array leaf; CSR
     # requires it static. Materialization happens eagerly, so concretize.
     n = int(store.num_nodes)
+    capacity = store.rows.shape[0]
+    if not isinstance(store.rows, jax.core.Tracer) and isinstance(
+        store.rows, np.ndarray
+    ):
+        # Host store -> host CSR (embeds into jitted programs with no
+        # device round-trips).
+        rows = np.asarray(store.rows)
+        valid = rows < n
+        counts = np.bincount(rows[valid], minlength=n)
+        indptr = np.zeros(n + 1, np.int32)
+        np.cumsum(counts, out=indptr[1:])
+        eids = np.where(
+            valid, np.arange(capacity, dtype=np.int32), np.int32(capacity)
+        )
+        return CSR(
+            indptr=indptr,
+            rows=rows,
+            cols=np.asarray(store.cols),
+            eids=eids,
+            num_nodes=n,
+            num_edges=int(store.num_edges),
+        )
     valid = store.rows < n
     counts = jax.ops.segment_sum(
         jnp.where(valid, 1, 0), store.rows, num_segments=n
@@ -122,7 +182,6 @@ def edge_store_to_csr(store: EdgeStore) -> CSR:
     indptr = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
     )
-    capacity = store.rows.shape[0]
     eids = jnp.where(
         valid,
         jnp.arange(capacity, dtype=jnp.int32),
@@ -178,21 +237,28 @@ class DeltaGraph(DynamicGraph):
             np.stack([_pad(d["delete"], max_del) for d in self._deltas])
         )
 
-        empty = EdgeStore(
-            rows=jnp.full((capacity,), n, jnp.int32),
-            cols=jnp.full((capacity,), n, jnp.int32),
-            num_edges=jnp.int32(0),
+        # Snapshot materialization runs the SAME delta-replay algorithm in
+        # numpy on host: snapshot CSRs become closed-over constants of
+        # jitted programs, and host leaves embed without the device->host
+        # pull that device arrays would pay per lowering (docs/PERF.md).
+        # The jittable device path (``apply_delta``) remains the API for
+        # fusing structure updates into compiled steps.
+        self._snapshots: List[EdgeStore] = []
+        state = EdgeStore(
+            rows=np.full((capacity,), n, np.int32),
+            cols=np.full((capacity,), n, np.int32),
+            num_edges=np.int32(0),
             num_nodes=n,
         )
-        self._snapshots: List[EdgeStore] = []
-        state = empty
+        staged_add = np.asarray(self._staged_add)
+        staged_del = np.asarray(self._staged_del)
         for t in range(self._num_timestamps):
-            state = apply_delta(
+            state = _apply_delta_np(
                 state,
-                self._staged_add[t, :, 1],  # row = dst
-                self._staged_add[t, :, 0],  # col = src
-                self._staged_del[t, :, 1],
-                self._staged_del[t, :, 0],
+                staged_add[t, :, 1],  # row = dst
+                staged_add[t, :, 0],  # col = src
+                staged_del[t, :, 1],
+                staged_del[t, :, 0],
             )
             self._snapshots.append(state)
         self._csr_cache: Dict[int, CSR] = {}
