@@ -26,21 +26,3 @@ def setup_compilation_cache(path: str | None = None) -> None:
     except Exception:
         pass
 
-
-def warmup_scatter() -> None:
-    """Pay the once-per-process first-scatter lowering penalty up front.
-
-    Measured on the remote-TPU environment: the first jitted program
-    containing a scatter (segment_sum/max) spends ~5 minutes in jaxpr→MLIR
-    conversion; every later scatter converts in milliseconds (docs/PERF.md).
-    Running this tiny scatter first moves that cost to a predictable place
-    (and overlappable with data loading). No-op cost elsewhere: <1 s.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    ids = jnp.asarray([0, 1, 1], dtype=jnp.int32)
-    out = jax.jit(
-        lambda v: jax.ops.segment_sum(v, ids, num_segments=4)
-    )(jnp.ones((3, 2, 1), jnp.float32))
-    jax.block_until_ready(out)
