@@ -96,13 +96,15 @@ def bench_tgcn_epoch(cutoff=100):
     wind = WindmillOutputDataLoader(size="small", lags=8, cutoff_time=cutoff)
     n = wind.gdata["num_nodes"]
     g = StaticGraph(wind.get_edges(), wind.get_edge_weights(), n)
-    targets = jnp.asarray(np.stack(wind.get_all_targets()), jnp.float32)  # (T, N)
+    targets_np = np.stack(wind.get_all_targets()).astype(np.float32)  # (T, N)
     lags = 8
-    t_steps = targets.shape[0] - lags
-    feats = jnp.stack(
-        [targets[i : i + lags].T for i in range(t_steps)]
+    t_steps = targets_np.shape[0] - lags
+    # Window-building in numpy: eager device slicing would cost one tunnel
+    # dispatch per timestep.
+    feats = jnp.asarray(
+        np.stack([targets_np[i : i + lags].T for i in range(t_steps)])
     )  # (T', N, lags)
-    ys = targets[lags:]  # (T', N)
+    ys = jnp.asarray(targets_np[lags:])  # (T', N)
     ew = jnp.asarray(wind.get_edge_weights(), jnp.float32)
 
     model = TGCN(lags, 16)
