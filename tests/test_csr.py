@@ -92,3 +92,26 @@ def test_round_up():
     assert round_up(5, 8) == 8
     assert round_up(8, 8) == 8
     assert round_up(9, 8) == 16
+
+
+def test_graph_constants_are_host_arrays(rng):
+    """Remote-TPU rule: graph constants must be numpy (docs/PERF.md) —
+    device-array constants cost a device->host pull at every jit lowering."""
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.graph import DeltaGraph
+    from stgraph_tpu.graph.blocked import build_blocked
+    from stgraph_tpu.utils import symmetric_norm
+
+    n, e = 40, 160
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)], 1)
+    g = StaticGraph(edges, None, n)
+    for arr in (g.fwd_csr.indptr, g.fwd_csr.rows, g.fwd_csr.cols,
+                g.fwd_csr.eids, g.bwd_csr.rows):
+        assert isinstance(arr, np.ndarray), type(arr)
+    b = build_blocked(g.fwd_csr)
+    for arr in (b.offsets, b.counts, b.dst, b.cols, b.perm, b.eids):
+        assert isinstance(arr, np.ndarray), type(arr)
+    assert isinstance(symmetric_norm(g), np.ndarray)
+    dg = DeltaGraph([[(0, 1), (1, 2)], [(0, 1), (2, 3)]])
+    csr0 = dg.get_graph(1)
+    assert isinstance(csr0.rows, np.ndarray)
