@@ -51,12 +51,32 @@ def replicate(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def _shard_blocked(blk_arrays, num_nodes: int, rows_padded: int, capacity: int):
+    """Rebuild a per-shard BlockedCSR from shard-sliced stacked arrays."""
+    from stgraph_tpu.graph.blocked import BlockedCSR
+
+    zeros = jnp.zeros((capacity,), jnp.int32)  # perm/eids unused by the kernel
+    return BlockedCSR(
+        offsets=blk_arrays["offsets"][0],
+        counts=blk_arrays["counts"][0],
+        dst=blk_arrays["dst"][0],
+        cols=blk_arrays["cols"][0],
+        perm=zeros,
+        eids=zeros,
+        num_nodes=num_nodes,
+        num_rows_padded=rows_padded,
+        csr_capacity=capacity,
+    )
+
+
 def dist_spmm(
     mesh: Mesh,
     dg: DistGraph,
     h: jnp.ndarray,
     axis: str = "graph",
     overlap: bool = True,
+    impl: str = "jnp",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """out[d] = sum over in-edges of h[src], edge-partitioned over ``axis``.
 
@@ -70,9 +90,16 @@ def dist_spmm(
     edges then reduce over the received halo buffer alone. ``False`` keeps
     the single-reduction formulation over the widened ``[local | halo]``
     buffer (used by the equivalence tests).
+
+    ``impl='pallas'`` runs each shard's interior/frontier reduction on the
+    blocked-CSR MXU kernel (layouts precomputed by the partitioner);
+    requires ``overlap=True``. ``'jnp'`` uses the XLA segment reduction.
     """
     f = h.shape[-1]
     ns, k, p = dg.nodes_per_shard, dg.halo_size, dg.num_shards
+    use_pallas = impl == "pallas" and dg.interior_blocked is not None
+    if impl == "pallas" and not overlap:
+        raise ValueError("impl='pallas' requires overlap=True")
 
     def _unstack_csr(stacked) -> CSR:
         c = jax.tree_util.tree_map(lambda x: x[0], stacked)
@@ -93,16 +120,37 @@ def dist_spmm(
             P(axis),  # local_csr pytree (prefix spec: dim0 of every leaf)
             P(axis),  # interior_csr
             P(axis),  # frontier_csr
+            P(axis),  # interior_blocked dict ({} when unused)
+            P(axis),  # frontier_blocked dict
             P(axis, None),  # h rows
         ),
         out_specs=P(axis, None),
+        # pallas_call does not yet annotate varying-mesh-axes metadata.
+        check_vma=not use_pallas,
     )
-    def _fwd(send_idx, local_csr, interior_csr, frontier_csr, h_local):
+    def _fwd(send_idx, local_csr, interior_csr, frontier_csr, ib, fb, h_local):
         send_idx = send_idx[0]  # (P, K) — leading shard dim of size 1
         # 1. halo send buffer: rows other shards asked for.
         send = h_local[send_idx]  # (P, K, F)
         # 2. exchange over ICI. split/concat on the shard axis.
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        if use_pallas:
+            from stgraph_tpu.ops.spmm_pallas import segment_sum_blocked
+
+            def reduce_blocked(blk_arrays, feats_src):
+                blk = _shard_blocked(
+                    blk_arrays,
+                    ns,
+                    dg.blocked_rows_padded,
+                    blk_arrays["dst"].shape[-1],
+                )
+                gathered = feats_src[blk.cols]
+                ones = jnp.ones((blk.capacity,), jnp.float32)
+                return segment_sum_blocked(blk, ones, gathered, interpret)[:ns]
+
+            interior = reduce_blocked(ib, h_local)
+            frontier = reduce_blocked(fb, recv.reshape(p * k, f))
+            return interior + frontier
         if overlap:
             # 3a. interior reduction — independent of the collective, so it
             # executes between all_to_all-start and -done.
@@ -115,4 +163,8 @@ def dist_spmm(
         buf = jnp.concatenate([h_local, recv.reshape(p * k, f)], axis=0)
         return M.spmm(_unstack_csr(local_csr), buf, impl="jnp")
 
-    return _fwd(dg.send_idx, dg.local_csr, dg.interior_csr, dg.frontier_csr, h)
+    ib = dg.interior_blocked if use_pallas else {}
+    fb = dg.frontier_blocked if use_pallas else {}
+    return _fwd(
+        dg.send_idx, dg.local_csr, dg.interior_csr, dg.frontier_csr, ib, fb, h
+    )

@@ -24,7 +24,7 @@ same philosophy as the reference's C++ CSR builder (``csr.cu``).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,12 @@ class DistGraph(NamedTuple):
         edges read only the halo buffer (cols re-based into [0, P*K)). The
         split is what lets the interior aggregation overlap the halo
         ``all_to_all`` (no data dependency on the collective).
+      interior_blocked / frontier_blocked: per-shard Pallas blocked layouts
+        (dicts of (P, ...) stacked host arrays, padded to a common edge
+        capacity), so each shard's aggregation can run the MXU
+        selection-matmul kernel instead of an XLA scatter; the static shape
+        metadata lives in ``blocked_rows_padded`` (rows per shard after
+        128-row padding).
       send_idx: (P, P, K) int32 — ``send_idx[p, q]``: p-local row indices
         to ship to shard q (0-padded; receivers never read padding).
       num_nodes: global node count (unpadded).
@@ -60,6 +66,9 @@ class DistGraph(NamedTuple):
     interior_csr: CSR
     frontier_csr: CSR
     send_idx: jnp.ndarray
+    interior_blocked: Optional[Dict[str, np.ndarray]]
+    frontier_blocked: Optional[Dict[str, np.ndarray]]
+    blocked_rows_padded: int
     num_nodes: int
     nodes_per_shard: int
     halo_size: int
@@ -152,18 +161,50 @@ def partition_edges(
         )
 
     def _stack(cs):
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cs)
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *cs)
 
+    int_blk, rows_padded = _stack_blocked(int_csrs)
+    fro_blk, _ = _stack_blocked(fro_csrs)
     return DistGraph(
         local_csr=_stack(csrs),
         interior_csr=_stack(int_csrs),
         frontier_csr=_stack(fro_csrs),
-        send_idx=jnp.asarray(send_idx),
+        send_idx=send_idx,
+        interior_blocked=int_blk,
+        frontier_blocked=fro_blk,
+        blocked_rows_padded=rows_padded,
         num_nodes=num_nodes,
         nodes_per_shard=ns,
         halo_size=k,
         num_shards=p,
     )
+
+
+def _stack_blocked(csrs: List[CSR]):
+    """Per-shard blocked layouts stacked to a common edge capacity.
+
+    Padding slots carry the row sentinel (>= ns), so the kernel drops them
+    like any other sentinel edge; padded chunks simply never run because
+    ``counts`` stays at the real per-block values.
+    """
+    from stgraph_tpu.graph.blocked import build_blocked
+
+    bs = [build_blocked(c) for c in csrs]
+    cb = max(b.capacity for b in bs)
+    ns = csrs[0].num_nodes
+
+    def pad_edge(a, fill):
+        out = np.full((cb,), fill, dtype=a.dtype)
+        out[: len(a)] = np.asarray(a)
+        return out
+
+    blk = {
+        "offsets": np.stack([np.asarray(b.offsets) for b in bs]),
+        "counts": np.stack([np.asarray(b.counts) for b in bs]),
+        "dst": np.stack([pad_edge(b.dst, ns) for b in bs]),
+        "cols": np.stack([pad_edge(b.cols, 0) for b in bs]),
+    }
+    return blk, bs[0].num_rows_padded
 
 
 def _build_local_csr(l_src: np.ndarray, l_dst: np.ndarray, ns: int, cap: int) -> CSR:
@@ -181,11 +222,13 @@ def _build_local_csr(l_src: np.ndarray, l_dst: np.ndarray, ns: int, cap: int) ->
     counts = np.bincount(l_dst, minlength=ns)
     indptr = np.zeros(ns + 1, np.int32)
     np.cumsum(counts, out=indptr[1:])
+    # Host numpy leaves: DistGraph arrays embed as constants of jitted
+    # steps (see graph.csr._make_csr_with_host).
     return CSR(
-        indptr=jnp.asarray(indptr),
-        rows=jnp.asarray(rows),
-        cols=jnp.asarray(cols),
-        eids=jnp.asarray(eids),
+        indptr=indptr,
+        rows=rows,
+        cols=cols,
+        eids=eids,
         num_nodes=ns,
         num_edges=e,
     )

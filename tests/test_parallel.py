@@ -172,3 +172,25 @@ def test_dist_tgcn_cell_matches_local(rng):
     np.testing.assert_allclose(
         np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4
     )
+
+
+def test_dist_spmm_pallas_matches_jnp(rng):
+    """Per-shard blocked-kernel aggregation (interpret) == jnp path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stgraph_tpu.parallel import dist_spmm, partition_edges, shard_node_array
+
+    n, e, p = 96, 500, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = jnp.asarray(rng.standard_normal((n, 6)).astype(np.float32))
+    hs = shard_node_array(mesh, h, dg)
+    out_jnp = dist_spmm(mesh, dg, hs, impl="jnp")
+    out_pl = dist_spmm(mesh, dg, hs, impl="pallas", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_jnp), rtol=1e-4, atol=1e-4
+    )
