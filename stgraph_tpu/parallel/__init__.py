@@ -7,6 +7,7 @@ partitioner in ``partition.py``; shard_map halo-exchange SpMM in
 
 from stgraph_tpu.parallel.halo import dist_spmm, replicate, shard_node_array
 from stgraph_tpu.parallel.mesh import make_mesh
+from stgraph_tpu.parallel import launch
 from stgraph_tpu.parallel.layers import (
     dist_gcn_conv,
     dist_gcn_params,
@@ -22,6 +23,7 @@ __all__ = [
     "dist_spmm",
     "dist_tgcn_cell",
     "dist_tgcn_params",
+    "launch",
     "make_mesh",
     "partition_edges",
     "replicate",

@@ -194,3 +194,12 @@ def test_dist_spmm_pallas_matches_jnp(rng):
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_jnp), rtol=1e-4, atol=1e-4
     )
+
+
+def test_launch_single_host():
+    from stgraph_tpu.parallel import launch
+
+    launch.initialize()  # no-op single host
+    info = launch.process_info()
+    assert info["process_count"] >= 1
+    assert not launch.is_multihost()
