@@ -19,9 +19,13 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as fnn
+import jax
 import jax.numpy as jnp
 
 from stgraph_tpu.compiler import STGraph, dsl
+
+# Same scale as ops.message._DENSE_BUDGET_BYTES: an (N, N) f32 mask.
+_DENSE_ATTN_BUDGET_BYTES = 64 * 1024 * 1024
 
 __all__ = ["GATConv"]
 
@@ -66,6 +70,25 @@ class GATConv(fnn.Module):
         er = jnp.sum(feat_src * attn_r, axis=-1, keepdims=True)
 
         negative_slope = self.negative_slope
+
+        # Fast path: small graphs compute the whole segment-softmax
+        # attention densely on the MXU (ops/attention.py) — no edge-domain
+        # arrays, no scatters. Same numerics as the vertex program below
+        # (pinned together by tests/test_nn.py::test_gat_dense_path_agrees).
+        csr = getattr(graph, "fwd_csr", graph)
+        n = csr.num_nodes
+        if self.impl in ("auto", "dense") and not isinstance(
+            csr.rows, jax.core.Tracer
+        ) and n * n * 4 <= _DENSE_ATTN_BUDGET_BYTES:
+            from stgraph_tpu.ops.attention import dense_gat_attention
+
+            rst = dense_gat_attention(
+                csr, el, er, feat_src, negative_slope=negative_slope
+            )
+            if self.activation is not None:
+                rst = self.activation(rst)
+            return rst
+
         stgraph = STGraph()
 
         @stgraph.compile(gnn_module=self, impl=self.impl)

@@ -179,3 +179,21 @@ def test_gcn_conv_bf16_dtype(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=5e-2, atol=5e-1
     )
+
+
+def test_gat_dense_path_agrees(setup, rng):
+    """Dense-mask attention fast path == vertex-program path."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.nn import GATConv
+
+    g, x, *_ = setup
+    conv_d = GATConv(x.shape[-1], 8, num_heads=4, impl="dense")
+    conv_j = GATConv(x.shape[-1], 8, num_heads=4, impl="jnp")
+    params = conv_d.init(jax.random.key(0), g, x)
+    out_d = conv_d.apply(params, g, x)
+    out_j = conv_j.apply(params, g, x)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_j), rtol=1e-4, atol=1e-4
+    )
