@@ -144,9 +144,28 @@ def dist_spmm(
                     dg.blocked_rows_padded,
                     blk_arrays["dst"].shape[-1],
                 )
-                gathered = feats_src[blk.cols]
                 ones = jnp.ones((blk.capacity,), jnp.float32)
-                return segment_sum_blocked(blk, ones, gathered, interpret)[:ns]
+
+                # Differentiable wrapper: pallas_call has no VJP of its own;
+                # d(segment-sum)/d(gathered)[e] is just g[dst_e] (zero on
+                # sentinels). The feats gather below transposes to a
+                # scatter-add by JAX, and shard_map transposes the
+                # all_to_all — so the whole distributed backward is
+                # synthesized from this one rule.
+                @jax.custom_vjp
+                def seg(gathered):
+                    return segment_sum_blocked(blk, ones, gathered, interpret)
+
+                def seg_fwd(gathered):
+                    return seg(gathered), ()
+
+                def seg_bwd(_, g):
+                    dgath = g[jnp.clip(blk.dst, 0, ns - 1)]
+                    dgath = jnp.where((blk.dst < ns)[:, None], dgath, 0.0)
+                    return (dgath,)
+
+                seg.defvjp(seg_fwd, seg_bwd)
+                return seg(feats_src[blk.cols])[:ns]
 
             interior = reduce_blocked(ib, h_local)
             frontier = reduce_blocked(fb, recv.reshape(p * k, f))

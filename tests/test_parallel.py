@@ -203,3 +203,28 @@ def test_launch_single_host():
     info = launch.process_info()
     assert info["process_count"] >= 1
     assert not launch.is_multihost()
+
+
+def test_dist_spmm_pallas_grads_match_jnp(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stgraph_tpu.parallel import dist_spmm, partition_edges, shard_node_array
+
+    n, e, p = 64, 300, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32))
+    hs = shard_node_array(mesh, h, dg)
+
+    def loss(hh, impl):
+        return (dist_spmm(mesh, dg, hh, impl=impl, interpret=True) ** 2).sum()
+
+    g_pl = jax.grad(lambda hh: loss(hh, "pallas"))(hs)
+    g_j = jax.grad(lambda hh: loss(hh, "jnp"))(hs)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_j), rtol=1e-4, atol=1e-4
+    )
