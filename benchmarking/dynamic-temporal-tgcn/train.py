@@ -92,6 +92,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from stgraph_tpu.utils.cache import setup_compilation_cache
+    from stgraph_tpu.utils.fetch import fetch_float
 
     setup_compilation_cache()
     import flax.linen as fnn
@@ -196,7 +197,7 @@ def main() -> None:
         dt = time.perf_counter() - t1
         if epoch >= 1:
             times.append(dt)
-        table.add_row([epoch, f"{float(loss):.5f}", f"{dt:.4f}"])
+        table.add_row([epoch, f"{fetch_float(loss):.5f}", f"{dt:.4f}"])
     table.display()
     avg = float(np.mean(times)) if times else 0.0
     print(

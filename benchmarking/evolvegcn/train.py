@@ -41,6 +41,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from stgraph_tpu.utils.cache import setup_compilation_cache
+    from stgraph_tpu.utils.fetch import fetch_float
 
     setup_compilation_cache()
     import flax.linen as fnn
@@ -111,7 +112,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if ep >= 3:
             times.append(dt)
-        table.add_row([ep, f"{float(loss):.6f}", f"{dt:.4f}"])
+        table.add_row([ep, f"{fetch_float(loss):.6f}", f"{dt:.4f}"])
     table.display()
     avg = float(np.mean(times)) if times else 0.0
     print(f"avg epoch time (>=3): {avg:.5f}s")

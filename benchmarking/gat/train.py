@@ -37,6 +37,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from stgraph_tpu.utils.cache import setup_compilation_cache
+    from stgraph_tpu.utils.fetch import fetch_float
 
     setup_compilation_cache()
     import flax.linen as fnn
@@ -100,11 +101,11 @@ def main() -> None:
         if epoch >= 3:
             times.append(dt)
         if epoch % 20 == 0 or epoch == args.num_epochs - 1:
-            acc = float((model.apply(params, x).argmax(-1) == y).mean())
-            table.add_row([epoch, f"{float(loss):.4f}", f"{dt:.5f}", f"{acc:.4f}"])
+            acc = fetch_float((model.apply(params, x).argmax(-1) == y).mean())
+            table.add_row([epoch, f"{fetch_float(loss):.4f}", f"{dt:.5f}", f"{acc:.4f}"])
     table.display()
     avg = float(np.mean(times)) if times else 0.0
-    acc = float((model.apply(params, x).argmax(-1) == y).mean())
+    acc = fetch_float((model.apply(params, x).argmax(-1) == y).mean())
     print(f"train acc: {acc:.4f}, avg epoch time (>=3): {avg:.6f}s")
     print(f"^^^0^^^{avg:.6f}")
 

@@ -71,6 +71,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from stgraph_tpu.utils.cache import setup_compilation_cache
+    from stgraph_tpu.utils.fetch import fetch_float
 
     setup_compilation_cache()
     import flax.linen as fnn
@@ -112,7 +113,10 @@ def main() -> None:
         n_windows, window, n, lags
     )
     ys_w = jnp.pad(ys, ((0, pad), (0, 0))).reshape(n_windows, window, n)
-    mask_w = jnp.pad(jnp.ones(total), (0, pad)).reshape(n_windows, window)
+    mask_w_np = np.pad(np.ones(total, np.float32), (0, pad)).reshape(
+        n_windows, window
+    )
+    mask_w = jnp.asarray(mask_w_np)
 
     @jax.jit
     def window_step(ps, opt_state, hidden, xw, yw, mw):
@@ -151,7 +155,7 @@ def main() -> None:
                 ps, opt_state, hidden, loss = window_step(
                     ps, opt_state, hidden, feats_w[wi], ys_w[wi], mask_w[wi]
                 )
-                tot += float(loss) * float(mask_w[wi].sum())
+                tot += fetch_float(loss) * float(np.sum(np.asarray(mask_w_np[wi])))
             jax.block_until_ready(loss)
         except (RuntimeError, jax.errors.JaxRuntimeError) as exc:
             # Device OOM parity with the reference's OOM row

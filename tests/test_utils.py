@@ -61,3 +61,11 @@ def test_data_table_renders(capsys):
     dt.display()
     out = capsys.readouterr().out
     assert "1" in out and "2" in out
+
+
+def test_device_fetch_roundtrip():
+    from stgraph_tpu.utils import device_fetch, fetch_float
+
+    assert fetch_float(jnp.float32(2.5)) == 2.5
+    out = device_fetch(jnp.arange(4))
+    np.testing.assert_array_equal(out, np.arange(4))
