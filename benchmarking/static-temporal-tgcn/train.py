@@ -155,7 +155,7 @@ def main() -> None:
                 ps, opt_state, hidden, loss = window_step(
                     ps, opt_state, hidden, feats_w[wi], ys_w[wi], mask_w[wi]
                 )
-                tot += fetch_float(loss) * float(np.sum(np.asarray(mask_w_np[wi])))
+                tot += fetch_float(loss) * float(mask_w_np[wi].sum())
             jax.block_until_ready(loss)
         except (RuntimeError, jax.errors.JaxRuntimeError) as exc:
             # Device OOM parity with the reference's OOM row

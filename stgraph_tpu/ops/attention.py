@@ -56,12 +56,16 @@ def dense_gat_attention(
         el_h, er_h, x_h = args  # (N,), (N,), (N, F)
         s = el_h[None, :] + er_h[:, None]  # (N_dst, N_src)
         s = jnp.where(s >= 0, s, negative_slope * s)
-        # Stability shift by the per-row max over actual neighbors.
+        # Stability shift by the per-row max over actual neighbors. The exp
+        # must also use the MASKED scores: a non-edge score above the
+        # neighbor max would overflow exp (0 * inf = NaN), and zero-degree
+        # rows must come out 0, not NaN. With `masked`, non-neighbors give
+        # exp(finfo.min - m) == 0 and a zero-degree row gives
+        # counts(=0) * exp(0) == 0 everywhere.
         neg = jnp.finfo(s.dtype).min
         masked = jnp.where(counts > 0, s, neg)
         m = jnp.max(masked, axis=1, keepdims=True)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)
-        e = counts * jnp.exp(s - m)  # multiplicity-weighted exp
+        e = counts * jnp.exp(masked - m)  # multiplicity-weighted exp
         denom = jnp.maximum(e.sum(axis=1, keepdims=True), jnp.finfo(s.dtype).tiny)
         alpha = e / denom  # (N_dst, N_src)
         return jnp.dot(alpha, x_h, preferred_element_type=jnp.float32).astype(

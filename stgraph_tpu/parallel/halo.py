@@ -97,9 +97,15 @@ def dist_spmm(
     """
     f = h.shape[-1]
     ns, k, p = dg.nodes_per_shard, dg.halo_size, dg.num_shards
-    use_pallas = impl == "pallas" and dg.interior_blocked is not None
-    if impl == "pallas" and not overlap:
-        raise ValueError("impl='pallas' requires overlap=True")
+    if impl == "pallas":
+        if not overlap:
+            raise ValueError("impl='pallas' requires overlap=True")
+        if dg.interior_blocked is None:
+            raise ValueError(
+                "impl='pallas' requires blocked layouts; rebuild the "
+                "DistGraph with partition_edges()"
+            )
+    use_pallas = impl == "pallas"
 
     def _unstack_csr(stacked) -> CSR:
         c = jax.tree_util.tree_map(lambda x: x[0], stacked)
@@ -165,7 +171,8 @@ def dist_spmm(
                     return (dgath,)
 
                 seg.defvjp(seg_fwd, seg_bwd)
-                return seg(feats_src[blk.cols])[:ns]
+                # segment_sum_blocked already slices to (ns, F).
+                return seg(feats_src[blk.cols])
 
             interior = reduce_blocked(ib, h_local)
             frontier = reduce_blocked(fb, recv.reshape(p * k, f))

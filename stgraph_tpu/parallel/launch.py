@@ -57,8 +57,13 @@ def initialize(
         jax.distributed.initialize(**kwargs)
         _initialized = True
     except Exception:
-        # Single-host (or already-initialized) environments: proceed with
-        # the local devices.
+        if kwargs:
+            # Explicit multi-host config that failed must not silently
+            # degrade to single-host training — re-raise for diagnosis and
+            # leave _initialized unset so a corrected retry works.
+            raise
+        # No config given (plain single-host run): proceed with the local
+        # devices.
         _initialized = True
 
 

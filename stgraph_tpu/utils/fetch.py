@@ -25,12 +25,23 @@ def d2h_available() -> bool:
 
 
 def device_fetch(x: Any, timeout_s: float = 30.0) -> Optional[np.ndarray]:
-    """``np.asarray(x)`` with a timeout; None on timeout (and thereafter)."""
+    """``np.asarray(x)`` with a timeout; None on timeout (and thereafter).
+
+    Waits for the computation itself (``block_until_ready``) *outside* the
+    timeout, so the timeout measures only the transfer — otherwise a slow
+    first compile would falsely latch the broken flag.
+    """
     global _broken
     if _broken:
         return None
     if isinstance(x, np.ndarray):
         return x
+    try:
+        import jax
+
+        jax.block_until_ready(x)
+    except Exception:
+        pass
     box = {}
 
     def worker():

@@ -197,3 +197,22 @@ def test_gat_dense_path_agrees(setup, rng):
     np.testing.assert_allclose(
         np.asarray(out_d), np.asarray(out_j), rtol=1e-4, atol=1e-4
     )
+
+
+def test_gat_dense_isolated_nodes_finite(rng):
+    """Zero-in-degree nodes and out-of-neighborhood score spikes must not
+    produce NaN in the dense attention path (code-review regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GATConv
+
+    # Node 3 has no in-edges; scores are scaled up to stress exp overflow.
+    g = StaticGraph([(0, 1), (1, 2), (2, 0)], None, 4)
+    x = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32)) * 40.0
+    conv = GATConv(6, 4, num_heads=2, impl="dense")
+    params = conv.init(jax.random.key(0), g, x)
+    out = conv.apply(params, g, x)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out)[3], 0.0, atol=1e-6)
