@@ -23,7 +23,6 @@ Design differences vs the reference, on purpose:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 

@@ -47,10 +47,11 @@ __all__ = [
 # HBM so large graphs route to the sparse kernels.
 _DENSE_BUDGET_BYTES = 64 * 1024 * 1024
 
-# Minimum edge capacity for the 'auto' Pallas route. Below this the jnp
-# sorted-segment path is competitive, and each new Pallas kernel variant
-# pays a multi-minute Mosaic compile on remote-TPU setups.
-_PALLAS_MIN_EDGES = 200_000
+# Minimum edge capacity for the 'auto' Pallas route. Graphs under the
+# dense-adjacency budget never get here; in the mid-size band the blocked
+# kernel already beats the XLA scatter (measured ~2x at 10k edges), so the
+# bar is set just above the dense regime's edge counts.
+_PALLAS_MIN_EDGES = 50_000
 
 
 def gather_src(csr: CSR, node_feat: jnp.ndarray) -> jnp.ndarray:
