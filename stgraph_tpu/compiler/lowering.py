@@ -229,4 +229,4 @@ def _lower_agg(
                 csr_t=gv.csr_t,
             )
 
-    return M.aggregate(csr, as_edge(arg), reduce=reduce, masked=True)
+    return M.aggregate(csr, as_edge(arg), reduce=reduce, masked=True, blocked=gv.blocked)

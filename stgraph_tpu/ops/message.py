@@ -78,8 +78,24 @@ def aggregate(
     edge_vals: jnp.ndarray,
     reduce: str = "sum",
     masked: bool = True,
+    blocked=None,
 ) -> jnp.ndarray:
-    """Segment-reduce per-edge values into per-destination rows."""
+    """Segment-reduce per-edge values into per-destination rows.
+
+    On TPU, large-graph sum reductions route to the blocked MXU kernel
+    (scatter-free forward AND backward) when a blocked layout is at hand —
+    this is what keeps big-graph GAT's softmax normalizers off the XLA
+    scatter path."""
+    if (
+        reduce == "sum"
+        and blocked is not None
+        and _on_tpu()
+        and csr.capacity >= _PALLAS_MIN_EDGES
+        and not isinstance(csr.rows, jax.core.Tracer)
+    ):
+        from stgraph_tpu.ops import spmm_pallas
+
+        return spmm_pallas.segment_sum_edges(csr, edge_vals, blocked=blocked)
     mask = csr.edge_mask if masked else None
     fn = {
         "sum": seg.segment_sum,

@@ -44,7 +44,7 @@ from stgraph_tpu.graph.blocked import BlockedCSR, EDGE_CHUNK, ROW_BLOCK, build_b
 from stgraph_tpu.graph.csr import CSR
 from stgraph_tpu.ops import message as _msg
 
-__all__ = ["spmm", "segment_sum_blocked"]
+__all__ = ["segment_sum_blocked", "segment_sum_edges", "spmm"]
 
 LANES = 128  # feature lanes per tile
 
@@ -467,3 +467,52 @@ def _ensure_blocked(
                     csr_t if csr_t is not None else csr.transpose()
                 )
     return blocked, blocked_t
+
+
+def segment_sum_edges(
+    csr: CSR,
+    edge_vals: jnp.ndarray,  # (capacity, ...) in CSR edge order
+    blocked: Optional[BlockedCSR] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Segment-sum CSR-ordered edge values into destination rows on the MXU.
+
+    The scatter-free path for per-edge aggregations (GAT's softmax
+    normalizer among them): values are permuted into blocked order and
+    reduced by the selection-matmul kernel. The backward needs no scatter
+    either — ``d(edge_vals)[e] = g[dst_e]`` is a gather in CSR order.
+    """
+    if blocked is None:
+        with jax.ensure_compile_time_eval():
+            blocked = build_blocked(csr)
+    cap = csr.capacity
+    lead = edge_vals.shape[0]
+    trailing = edge_vals.shape[1:]
+    k = int(np.prod(trailing)) if trailing else 1
+    perm = jnp.minimum(blocked.perm, cap - 1)
+    mask_np = (
+        blocked.perm < cap
+        if isinstance(blocked.perm, np.ndarray)
+        else np.asarray(blocked.perm) < cap
+    )
+    rows_c = jnp.minimum(csr.rows, csr.num_nodes - 1)
+    edge_mask = csr.edge_mask
+
+    @jax.custom_vjp
+    def f(v):
+        vf = v.reshape(lead, k)
+        vb = vf[perm] * jnp.asarray(mask_np, vf.dtype)[:, None]
+        ones = jnp.ones((blocked.capacity,), jnp.float32)
+        out = segment_sum_blocked(blocked, ones, vb, interpret)
+        return out.reshape((csr.num_nodes,) + trailing)
+
+    def fwd(v):
+        return f(v), ()
+
+    def bwd(_, g):
+        gf = g.reshape(csr.num_nodes, k)
+        dv = gf[rows_c] * jnp.asarray(edge_mask, gf.dtype)[:, None]
+        return (dv.reshape((lead,) + trailing),)
+
+    f.defvjp(fwd, bwd)
+    return f(edge_vals)

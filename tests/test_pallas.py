@@ -193,3 +193,44 @@ def test_segmented_spmm_matches(setup, rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g[1])[mask], np.asarray(g2[1])[mask], rtol=1e-3, atol=1e-3
     )
+
+
+def test_segment_sum_edges_matches_oracle(setup, rng):
+    """Scatter-free edge segment-sum (fwd + bwd) vs jax.ops.segment_sum."""
+    csr, h, a, *_ = setup
+    for shape in [(csr.capacity,), (csr.capacity, 4), (csr.capacity, 3, 2)]:
+        v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        out = SP.segment_sum_edges(csr, v, interpret=True)
+        oracle = jax.ops.segment_sum(
+            jnp.where(
+                csr.edge_mask.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0
+            ),
+            jnp.asarray(csr.rows),
+            num_segments=csr.num_nodes,
+            indices_are_sorted=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(oracle), rtol=1e-4, atol=1e-4
+        )
+
+    v = jnp.asarray(rng.standard_normal((csr.capacity, 4)).astype(np.float32))
+
+    def loss_p(v):
+        return (SP.segment_sum_edges(csr, v, interpret=True) ** 2).sum()
+
+    def loss_o(v):
+        m = jnp.where(csr.edge_mask[:, None], v, 0.0)
+        return (
+            jax.ops.segment_sum(
+                m, jnp.asarray(csr.rows), num_segments=csr.num_nodes,
+                indices_are_sorted=True,
+            )
+            ** 2
+        ).sum()
+
+    gp = jax.grad(loss_p)(v)
+    go = jax.grad(loss_o)(v)
+    mask = np.asarray(csr.edge_mask)
+    np.testing.assert_allclose(
+        np.asarray(gp)[mask], np.asarray(go)[mask], rtol=1e-4, atol=1e-4
+    )
