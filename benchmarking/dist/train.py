@@ -37,11 +37,11 @@ def build_step(mesh, dg, x, y, norm, params, opt):
     from stgraph_tpu.parallel import dist_spmm
 
     def model(p, h):
-        h = (h @ p["w1"] + p["b1"]) * norm
-        h = dist_spmm(mesh, dg, h) * norm
-        h = jax.nn.relu(h)
-        h = (h @ p["w2"] + p["b2"]) * norm
-        h = dist_spmm(mesh, dg, h) * norm
+        for i in range(len(p) // 2):
+            h = (h @ p[f"w{i}"] + p[f"b{i}"]) * norm
+            h = dist_spmm(mesh, dg, h) * norm
+            if i < len(p) // 2 - 1:
+                h = jax.nn.relu(h)
         return h
 
     @jax.jit
@@ -92,14 +92,19 @@ def run_once(num_devices: int, args) -> dict:
     norm = shard_node_array(
         mesh, jnp.asarray(rng.random((n, 1)) + 0.5, jnp.float32), dg
     )
+    dims = [f] + [hidden] * (args.layers - 1) + [classes]
     params = jax.device_put(
         {
-            "w1": jnp.asarray(rng.standard_normal((f, hidden)) * 0.1, jnp.float32),
-            "b1": jnp.zeros((hidden,), jnp.float32),
-            "w2": jnp.asarray(
-                rng.standard_normal((hidden, classes)) * 0.1, jnp.float32
-            ),
-            "b2": jnp.zeros((classes,), jnp.float32),
+            **{
+                f"w{i}": jnp.asarray(
+                    rng.standard_normal((dims[i], dims[i + 1])) * 0.1, jnp.float32
+                )
+                for i in range(args.layers)
+            },
+            **{
+                f"b{i}": jnp.zeros((dims[i + 1],), jnp.float32)
+                for i in range(args.layers)
+            },
         },
         NamedSharding(mesh, P()),
     )
@@ -133,6 +138,10 @@ def main() -> None:
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--feat", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=3,
+                    help="GCN depth (BASELINE config: 3-layer)")
+    ap.add_argument("--preset", default=None, choices=[None, "ogbn-products"],
+                    help="ogbn-products scale: N=2.45M, E=61.9M, F=100")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--device-counts", default="1,2,4,8")
     ap.add_argument(
@@ -142,6 +151,8 @@ def main() -> None:
         help="simulate N virtual CPU devices",
     )
     args = ap.parse_args()
+    if args.preset == "ogbn-products":
+        args.nodes, args.edges, args.feat = 2_449_029, 61_859_140, 100
 
     if args.force_cpu_devices:
         flags = os.environ.get("XLA_FLAGS", "")

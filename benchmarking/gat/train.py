@@ -21,6 +21,7 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser("GAT-on-Cora benchmark")
+    ap.add_argument("--dataset", default="cora", choices=["cora", "pubmed"])
     ap.add_argument("--num_epochs", type=int, default=200)
     ap.add_argument("--num_hidden", type=int, default=8)
     ap.add_argument("--num_heads", type=int, default=8)
@@ -45,11 +46,15 @@ def main() -> None:
     import optax
 
     from stgraph_tpu import StaticGraph
-    from stgraph_tpu.dataset import CoraDataLoader
+    from stgraph_tpu.dataset import CoraDataLoader, PubmedDataLoader
     from stgraph_tpu.nn import GATConv
     from stgraph_tpu.utils import DataTable
 
-    cora = CoraDataLoader(verbose=True)
+    cora = (
+        PubmedDataLoader(verbose=True)
+        if args.dataset == "pubmed"
+        else CoraDataLoader(verbose=True)
+    )
     g = StaticGraph(cora.get_edges(), None, cora.gdata["num_nodes"])
     x = jnp.asarray(cora.get_all_features())
     y = jnp.asarray(cora.get_all_targets())

@@ -17,6 +17,7 @@ from stgraph_tpu.dataset.hungarycp_dataloader import HungaryCPDataLoader
 from stgraph_tpu.dataset.metrla_dataloader import METRLADataLoader
 from stgraph_tpu.dataset.montevideobus_dataloader import MontevideoBusDataLoader
 from stgraph_tpu.dataset.pedalme_dataloader import PedalMeDataLoader
+from stgraph_tpu.dataset.pubmed_dataloader import PubmedDataLoader
 from stgraph_tpu.dataset.wikimath_dataloader import WikiMathDataLoader
 from stgraph_tpu.dataset.windmilloutput_dataloader import WindmillOutputDataLoader
 
@@ -27,6 +28,7 @@ __all__ = [
     "METRLADataLoader",
     "MontevideoBusDataLoader",
     "PedalMeDataLoader",
+    "PubmedDataLoader",
     "STGraphDataset",
     "STGraphDynamicDataset",
     "STGraphStaticDataset",

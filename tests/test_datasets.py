@@ -122,3 +122,14 @@ def test_synthetic_flag_set_offline():
     c = CoraDataLoader()
     # In the air-gapped test env the download must have fallen back.
     assert isinstance(c.synthetic, bool)
+
+
+def test_pubmed_loader_shapes():
+    from stgraph_tpu.dataset import PubmedDataLoader
+
+    d = PubmedDataLoader()
+    assert d.gdata["num_edges"] == 88648
+    assert d.gdata["num_feats"] == 500
+    assert d.gdata["num_classes"] == 3
+    assert d.get_all_features().shape == (19717, 500)
+    assert len(d.get_edges()) == 88648
