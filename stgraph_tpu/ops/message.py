@@ -28,6 +28,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stgraph_tpu.graph.csr import CSR
 from stgraph_tpu.ops import segment as seg
@@ -82,20 +83,33 @@ def aggregate(
 ) -> jnp.ndarray:
     """Segment-reduce per-edge values into per-destination rows.
 
-    On TPU, large-graph sum reductions route to the blocked MXU kernel
-    (scatter-free forward AND backward) when a blocked layout is at hand —
-    this is what keeps big-graph GAT's softmax normalizers off the XLA
-    scatter path."""
-    if (
-        reduce == "sum"
-        and blocked is not None
-        and _on_tpu()
-        and csr.capacity >= _PALLAS_MIN_EDGES
-        and not isinstance(csr.rows, jax.core.Tracer)
-    ):
-        from stgraph_tpu.ops import spmm_pallas
+    On TPU, large-graph reductions route to scatter-free Pallas kernels:
+    narrow trailing widths (GAT logits/normalizers, K <= 16) go to the
+    position-masked kernels in ``ops.segment_pallas`` (sum/max/mean —
+    measured 6-12x over the XLA scatter at 2M edges); wide sums with a
+    blocked layout at hand go to the 128-lane blocked MXU kernel."""
+    concrete = not isinstance(csr.rows, jax.core.Tracer) and not isinstance(
+        csr.indptr, jax.core.Tracer
+    )
+    if _on_tpu() and concrete and csr.capacity >= _PALLAS_MIN_EDGES:
+        from stgraph_tpu.ops import segment_pallas as nsp
 
-        return spmm_pallas.segment_sum_edges(csr, edge_vals, blocked=blocked)
+        k = int(np.prod(edge_vals.shape[1:])) if edge_vals.ndim > 1 else 1
+        if k <= nsp.MAX_NARROW_K and reduce in ("sum", "max", "mean"):
+            if reduce == "sum":
+                return nsp.segment_sum_narrow(csr, edge_vals)
+            if reduce == "max":
+                return nsp.segment_max_narrow(csr, edge_vals)
+            # mean = narrow sum / host-side in-degree (empty rows -> 0/1=0,
+            # the reference's divisor semantics, registry.py:96-99)
+            indptr, _, _, _ = csr.host_arrays()
+            deg = np.maximum(indptr[1:] - indptr[:-1], 1).astype(np.float32)
+            s = nsp.segment_sum_narrow(csr, edge_vals)
+            return s / deg.reshape((csr.num_nodes,) + (1,) * (s.ndim - 1))
+        if reduce == "sum" and blocked is not None:
+            from stgraph_tpu.ops import spmm_pallas
+
+            return spmm_pallas.segment_sum_edges(csr, edge_vals, blocked=blocked)
     mask = csr.edge_mask if masked else None
     fn = {
         "sum": seg.segment_sum,

@@ -1,0 +1,410 @@
+"""Narrow-feature segment reductions as position-masked Pallas kernels.
+
+GAT-style vertex programs reduce *narrow* per-edge values — attention
+logits and softmax normalizers of shape (E, H) with H ≈ 8 — where both the
+XLA scatter (serialized) and the 128-lane blocked SpMM kernel (16x lane
+padding on the HBM stream) are pathological: measured 19–25 ms for
+E = 2M, H = 8 on a v5e chip (docs/PERF.md).
+
+These kernels exploit that CSR edge order is destination-sorted, so each
+destination row's edges occupy one *contiguous positional range*
+``[indptr[r], indptr[r+1])``. The selection mask is therefore computable
+from two range compares against a positional iota — no destination-id
+stream, no permutation into a blocked layout, no sentinel edges. Edge
+values are read **directly in CSR order** from 128-aligned chunk starts;
+the sub-alignment skew is absorbed into the per-row ranges.
+
+  * ``segment_sum_narrow`` — out.T (K, rows) accumulates
+    ``vals.T @ mask`` on the MXU: one (K, 1024) x (1024, 128) matmul per
+    edge chunk (K on the M dim: underutilized but contraction-bound, ~1
+    cycle/edge).
+  * ``segment_max_narrow`` — per-head masked max on the VPU
+    (``where(mask, v_k, -inf)`` then a cross-sublane max), the scatter-free
+    stability max for segment softmax.
+
+Both have gather-only custom VJPs (the transpose of a segment reduction is
+a destination-indexed gather). Reference counterpart: the aggregation
+stage of the generated fused kernels
+(``stgraph/compiler/code_gen/templates/fa/tpl_fa_csr.jinja:28-45``,
+``AggSumOp``/``AggMaxOp`` in ``stgraph/compiler/registry.py:269-338``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stgraph_tpu.graph.blocked import EDGE_CHUNK, ROW_BLOCK
+from stgraph_tpu.graph.csr import CSR
+
+__all__ = [
+    "RowBlockMeta",
+    "row_block_meta",
+    "segment_sum_narrow",
+    "segment_max_narrow",
+    "MAX_NARROW_K",
+]
+
+# Largest trailing width routed to these kernels; wider values go to the
+# 128-lane blocked SpMM kernel, whose lane padding is then harmless.
+MAX_NARROW_K = 16
+
+_ALIGN = 128  # chunk starts are aligned down to this many edges
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class RowBlockMeta(NamedTuple):
+    """Host-side per-row-block ranges for position-masked kernels.
+
+    Attributes:
+      astart:  (NB,) int32 — 128-aligned CSR position where block b's chunk
+        reads begin (``align_down(indptr[b*128])``).
+      nchunks: (NB,) int32 — EDGE_CHUNK-sized chunks to stream for block b.
+      bs/be:   (NB, 1, ROW_BLOCK) int32 — each row's edge range in *chunk-local*
+        positions (CSR position minus ``astart``); empty rows carry (0, 0).
+      cap_pad: edge capacity the value arrays must be padded to so the last
+        chunk's read stays in bounds.
+      num_rows_padded: node count rounded up to ROW_BLOCK.
+    """
+
+    astart: np.ndarray
+    nchunks: np.ndarray
+    bs: np.ndarray
+    be: np.ndarray
+    cap_pad: int
+    num_rows_padded: int
+
+    @property
+    def num_blocks(self) -> int:
+        return self.astart.shape[0]
+
+
+def row_block_meta(csr: CSR) -> RowBlockMeta:
+    """Build (and cache on the CSR object) the row-block position ranges."""
+    cached = getattr(csr, "_row_block_meta", None)
+    if cached is not None:
+        return cached
+    indptr, _, _, _ = csr.host_arrays()
+    indptr = indptr.astype(np.int64)
+    n = csr.num_nodes
+    n_pad = max(_round_up(n, ROW_BLOCK), ROW_BLOCK)
+    nb = n_pad // ROW_BLOCK
+
+    lo = np.minimum(np.arange(nb) * ROW_BLOCK, n)
+    hi = np.minimum(lo + ROW_BLOCK, n)
+    astart = (indptr[lo] // _ALIGN) * _ALIGN
+    span = indptr[hi] - astart
+    nchunks = (span + EDGE_CHUNK - 1) // EDGE_CHUNK
+
+    # Row ranges in chunk-local coordinates. Rows beyond n get (0, 0).
+    rows = np.minimum(
+        np.arange(n_pad).reshape(nb, ROW_BLOCK), n
+    )  # (NB, ROW_BLOCK) clamped row ids
+    bs = indptr[rows] - astart[:, None]
+    be = indptr[np.minimum(rows + 1, n)] - astart[:, None]
+    empty = rows >= n
+    bs[empty] = 0
+    be[empty] = 0
+
+    cap_pad = int(max((astart + nchunks * EDGE_CHUNK).max(), EDGE_CHUNK))
+    meta = RowBlockMeta(
+        astart=astart.astype(np.int32),
+        nchunks=nchunks.astype(np.int32),
+        # 3-D with a unit sublane dim: Mosaic requires the last two block
+        # dims be (8k, 128m) or equal to the array dims; (1, 1, ROW_BLOCK)
+        # blocks of an (NB, 1, ROW_BLOCK) array satisfy that.
+        bs=bs.astype(np.int32).reshape(nb, 1, ROW_BLOCK),
+        be=be.astype(np.int32).reshape(nb, 1, ROW_BLOCK),
+        cap_pad=cap_pad,
+        num_rows_padded=n_pad,
+    )
+    object.__setattr__(csr, "_row_block_meta", meta)
+    return meta
+
+
+def _narrow_sum_kernel(
+    # scalar prefetch
+    astart_ref,  # (NB,)
+    nchunks_ref,  # (NB,)
+    # inputs
+    bs_ref,  # (1, 1, ROW_BLOCK) block
+    be_ref,  # (1, 1, ROW_BLOCK) block
+    vals_ref,  # (K_pad, CAP_pad) HBM, transposed CSR-order values
+    # output
+    out_ref,  # (K_pad, ROW_BLOCK) VMEM block
+    # scratch
+    vals_scratch,  # (2, K_pad, EDGE_CHUNK)
+    acc_scratch,  # (K_pad, ROW_BLOCK) f32
+    sem,  # (2,) DMA
+):
+    rb = pl.program_id(0)
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return pltpu.make_async_copy(
+            vals_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+            vals_scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (EDGE_CHUNK, ROW_BLOCK), 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        pos = pos0 + i * EDGE_CHUNK
+        # Row r owns chunk-local positions [bs[r], be[r]): two compares
+        # replace the dst-id stream entirely (CSR order is dst-sorted).
+        m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0])
+        acc_scratch[...] += jax.lax.dot_general(
+            vals_scratch[slot],
+            m.astype(vals_scratch.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    out_ref[...] = acc_scratch[...]
+
+
+def _narrow_max_kernel(
+    astart_ref,
+    nchunks_ref,
+    bs_ref,  # (1, ROW_BLOCK, 1) block
+    be_ref,  # (1, ROW_BLOCK, 1) block
+    vals_ref,  # (K_pad, CAP_pad) HBM, transposed CSR-order values
+    out_ref,  # (ROW_BLOCK, LANES)
+    vals_scratch,  # (2, K_pad, EDGE_CHUNK)
+    acc_scratch,  # (ROW_BLOCK, LANES) f32
+    sem,
+    *,
+    k: int,
+):
+    rb = pl.program_id(0)
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return pltpu.make_async_copy(
+            vals_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+            vals_scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    neg_inf = jnp.float32(-jnp.inf)
+    acc_scratch[...] = jnp.full_like(acc_scratch, neg_inf)
+    # Mask oriented (rows, positions): rows on sublanes so the per-head
+    # row maxima reduce along lanes and write one accumulator lane each.
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        pos = pos0 + i * EDGE_CHUNK
+        m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0])
+        for kk in range(k):  # static unroll; K <= MAX_NARROW_K
+            vk = vals_scratch[slot, kk, :].reshape(1, EDGE_CHUNK)
+            mk = jnp.where(m, vk, neg_inf)  # (ROW_BLOCK, EDGE_CHUNK)
+            rowmax = jnp.max(mk, axis=1, keepdims=True)  # (ROW_BLOCK, 1)
+            acc_scratch[:, kk : kk + 1] = jnp.maximum(
+                acc_scratch[:, kk : kk + 1], rowmax
+            )
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    # Empty segments -> 0, matching ops.segment.segment_max semantics.
+    acc = acc_scratch[...]
+    out_ref[...] = jnp.where(jnp.isneginf(acc), 0.0, acc)
+
+
+def _prep(csr: CSR, edge_vals: jnp.ndarray):
+    meta = row_block_meta(csr)
+    cap = csr.capacity
+    lead = edge_vals.shape[0]
+    trailing = edge_vals.shape[1:]
+    k = int(np.prod(trailing)) if trailing else 1
+    if lead != cap:
+        raise ValueError(f"edge_vals leading dim {lead} != capacity {cap}")
+    if k > MAX_NARROW_K:
+        raise ValueError(f"trailing width {k} > MAX_NARROW_K={MAX_NARROW_K}")
+    # Host numpy graph constants: the VJP closures embed these, and a
+    # traced/jnp value there would leak a tracer into the backward trace
+    # (and pull device->host at lowering over remote tunnels).
+    _, rows_np, _, _ = csr.host_arrays()
+    rows_c = np.minimum(rows_np, csr.num_nodes - 1)
+    edge_mask = (rows_np < csr.num_nodes).astype(np.float32)
+    return meta, k, trailing, rows_c, edge_mask
+
+
+def segment_sum_narrow(
+    csr: CSR, edge_vals: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """out[r, ...] = sum of CSR-order ``edge_vals`` rows with dst == r.
+
+    For trailing widths K <= MAX_NARROW_K. Scatter-free forward (MXU
+    selection matmul over positional masks) and backward (destination
+    gather). Requires a concrete CSR.
+    """
+    meta, k, trailing, rows_c, edge_mask = _prep(csr, edge_vals)
+    cap = csr.capacity
+    n = csr.num_nodes
+    k_pad = max(_round_up(k, 8), 8)
+
+    @jax.custom_vjp
+    def f(v):
+        vf = v.reshape(cap, k).astype(jnp.float32)
+        vt = jnp.pad(vf, ((0, meta.cap_pad - cap), (0, k_pad - k))).T
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(meta.num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, ROW_BLOCK), lambda rb, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, 1, ROW_BLOCK), lambda rb, *_: (rb, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (k_pad, ROW_BLOCK), lambda rb, *_: (0, rb)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
+                pltpu.VMEM((k_pad, ROW_BLOCK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out_t = pl.pallas_call(
+            _narrow_sum_kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (k_pad, meta.num_rows_padded), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * meta.cap_pad * ROW_BLOCK * k_pad,
+                bytes_accessed=meta.cap_pad * 4 * k_pad
+                + meta.num_rows_padded * k_pad * 4,
+                transcendentals=0,
+            ),
+        )(meta.astart, meta.nchunks, meta.bs, meta.be, vt)
+        return out_t[:k, :n].T.reshape((n,) + trailing).astype(edge_vals.dtype)
+
+    def fwd(v):
+        return f(v), ()
+
+    def bwd(_, g):
+        gf = g.reshape(n, k)
+        dv = gf[rows_c] * edge_mask[:, None]
+        return (dv.reshape((cap,) + trailing).astype(edge_vals.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(edge_vals)
+
+
+def segment_max_narrow(
+    csr: CSR, edge_vals: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Per-destination maximum of CSR-order ``edge_vals``; empty rows -> 0.
+
+    The scatter-free stability max for segment softmax. Gradient follows
+    the argmax-mask convention: every edge whose value equals its
+    segment's max receives the full output cotangent (ties double-count —
+    immaterial for softmax stability shifts, whose net gradient is zero).
+    """
+    meta, k, trailing, rows_c, edge_mask = _prep(csr, edge_vals)
+    cap = csr.capacity
+    n = csr.num_nodes
+    k_pad = max(_round_up(k, 8), 8)
+
+    @jax.custom_vjp
+    def f(v):
+        vf = v.reshape(cap, k).astype(jnp.float32)
+        # Padding edges cannot contaminate a real row's max: they sit
+        # beyond every row's [bs, be) range (be <= indptr[n]), so only
+        # in-bounds reads are needed — pad, transpose to (K_pad, CAP_pad).
+        vt = jnp.pad(vf, ((0, meta.cap_pad - cap), (0, k_pad - k))).T
+        lanes = 128
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(meta.num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_BLOCK, lanes), lambda rb, *_: (rb, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
+                pltpu.VMEM((ROW_BLOCK, lanes), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_narrow_max_kernel, k=k),
+            out_shape=jax.ShapeDtypeStruct(
+                (meta.num_rows_padded, lanes), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=meta.cap_pad * ROW_BLOCK * k,
+                bytes_accessed=meta.cap_pad * 4 * k
+                + meta.num_rows_padded * lanes * 4,
+                transcendentals=0,
+            ),
+        )(
+            meta.astart,
+            meta.nchunks,
+            meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1),
+            meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1),
+            vt,
+        )
+        return out[:n, :k].reshape((n,) + trailing).astype(edge_vals.dtype)
+
+    def fwd(v):
+        out = f(v)
+        return out, (v, out)
+
+    def bwd(res, g):
+        v, out = res
+        vf = v.reshape(cap, k)
+        gf = g.reshape(n, k)
+        of = out.reshape(n, k)
+        is_max = (vf == of[rows_c]) & (edge_mask[:, None] > 0)
+        dv = jnp.where(is_max, gf[rows_c], 0.0)
+        return (dv.reshape((cap,) + trailing).astype(v.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(edge_vals)

@@ -1,0 +1,122 @@
+"""Narrow-K position-masked segment kernels (interpret mode) vs jnp oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stgraph_tpu.graph.blocked import EDGE_CHUNK, ROW_BLOCK
+from stgraph_tpu.graph.csr import build_csr
+from stgraph_tpu.ops import segment as seg
+from stgraph_tpu.ops import segment_pallas as NSP
+
+
+@pytest.fixture
+def graph(rng):
+    n, e = 300, 5000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    # leave some rows empty deliberately
+    dst[dst > n - 20] = 0
+    return build_csr(src, dst, n)
+
+
+def test_row_block_meta_invariants(graph):
+    meta = NSP.row_block_meta(graph)
+    indptr = np.asarray(graph.indptr).astype(np.int64)
+    n = graph.num_nodes
+    assert (meta.astart % 128 == 0).all()
+    assert meta.num_rows_padded % ROW_BLOCK == 0
+    for b in range(meta.num_blocks):
+        lo, hi = b * ROW_BLOCK, min((b + 1) * ROW_BLOCK, n)
+        if lo >= n:
+            assert (meta.be[b, 0] == meta.bs[b, 0]).all()
+            continue
+        for r in range(lo, hi):
+            assert meta.bs[b, 0, r - lo] == indptr[r] - meta.astart[b]
+            assert meta.be[b, 0, r - lo] == indptr[r + 1] - meta.astart[b]
+        # every row's range fits inside the streamed chunks
+        assert meta.be[b, 0].max(initial=0) <= meta.nchunks[b] * EDGE_CHUNK
+    assert meta.cap_pad >= graph.capacity
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_narrow_sum_matches_oracle(graph, rng, k):
+    vals = rng.standard_normal((graph.capacity, k)).astype(np.float32)
+    out = NSP.segment_sum_narrow(graph, jnp.asarray(vals), interpret=True)
+    ref = seg.segment_sum(
+        jnp.asarray(vals), graph.rows, graph.num_nodes, edge_mask=graph.edge_mask
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_narrow_sum_trailing_shape(graph, rng):
+    vals = rng.standard_normal((graph.capacity, 4, 2)).astype(np.float32)
+    out = NSP.segment_sum_narrow(graph, jnp.asarray(vals), interpret=True)
+    assert out.shape == (graph.num_nodes, 4, 2)
+    ref = seg.segment_sum(
+        jnp.asarray(vals), graph.rows, graph.num_nodes, edge_mask=graph.edge_mask
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [1, 8])
+def test_narrow_max_matches_oracle(graph, rng, k):
+    vals = rng.standard_normal((graph.capacity, k)).astype(np.float32)
+    out = NSP.segment_max_narrow(graph, jnp.asarray(vals), interpret=True)
+    ref = seg.segment_max(
+        jnp.asarray(vals), graph.rows, graph.num_nodes, edge_mask=graph.edge_mask
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_narrow_sum_grad(graph, rng):
+    vals = rng.standard_normal((graph.capacity, 8)).astype(np.float32)
+    g = rng.standard_normal((graph.num_nodes, 8)).astype(np.float32)
+
+    def loss(v):
+        return jnp.sum(NSP.segment_sum_narrow(graph, v, interpret=True) * g)
+
+    def loss_ref(v):
+        return jnp.sum(
+            seg.segment_sum(v, graph.rows, graph.num_nodes, edge_mask=graph.edge_mask)
+            * g
+        )
+
+    dv = jax.grad(loss)(jnp.asarray(vals))
+    dv_ref = jax.grad(loss_ref)(jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_narrow_max_grad_tie_free(graph, rng):
+    # distinct values => tie-free argmax; gradients must match the oracle
+    vals = rng.permutation(graph.capacity * 2).astype(np.float32)[
+        : graph.capacity
+    ].reshape(graph.capacity, 1)
+    g = rng.standard_normal((graph.num_nodes, 1)).astype(np.float32)
+
+    def loss(v):
+        return jnp.sum(NSP.segment_max_narrow(graph, v, interpret=True) * g)
+
+    def loss_ref(v):
+        return jnp.sum(
+            seg.segment_max(v, graph.rows, graph.num_nodes, edge_mask=graph.edge_mask)
+            * g
+        )
+
+    dv = jax.grad(loss)(jnp.asarray(vals))
+    dv_ref = jax.grad(loss_ref)(jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_narrow_sum_large_random_block_spans(rng):
+    # A graph big enough that blocks span multiple chunks and starts are
+    # misaligned relative to EDGE_CHUNK.
+    n, e = 1000, 30_000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    csr = build_csr(src, dst, n)
+    vals = rng.standard_normal((csr.capacity, 2)).astype(np.float32)
+    out = NSP.segment_sum_narrow(csr, jnp.asarray(vals), interpret=True)
+    ref = seg.segment_sum(jnp.asarray(vals), csr.rows, n, edge_mask=csr.edge_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
