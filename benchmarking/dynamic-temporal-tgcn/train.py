@@ -78,7 +78,9 @@ class _SyntheticDTDG:
 def main() -> None:
     ap = argparse.ArgumentParser("dynamic-temporal TGCN benchmark")
     ap.add_argument("--dataset", default="england_covid")
-    ap.add_argument("--type", default="naive", choices=["naive", "delta"])
+    ap.add_argument(
+        "--type", default="naive", choices=["naive", "delta", "delta-scan"]
+    )
     ap.add_argument("--num_epochs", type=int, default=5)
     ap.add_argument("--num_hidden", type=int, default=32)
     ap.add_argument("--feat_size", type=int, default=8)
@@ -125,59 +127,113 @@ def main() -> None:
     t_total = len(d.get_all_features())
 
     feats = jnp.asarray(np.stack(d.get_all_features()), jnp.float32)  # (T', N, lags)
-    stacked = (
-        G.stacked()
-        if args.type == "delta"
-        else NaiveGraph(edge_lists, weight_lists).stacked()
-    )
-    # Align snapshot t+lags with feature window t (reference uses graphs
-    # starting at lag offset).
-    stacked = jax.tree_util.tree_map(lambda x: x[lags : lags + t_total], stacked)
-    weights = None
-    if args.type == "naive":
-        weights = G.stacked_weights()[lags : lags + t_total]
+    if args.type == "delta-scan":
+        # In-step structure mutation: the scan carries the EdgeStore and
+        # replays each timestamp's delta INSIDE the compiled epoch — the
+        # reference's per-step PCSR/GPMA updates (§3.5 of SURVEY.md), fused
+        # into one XLA program. Memory: O(capacity + T x delta) instead of
+        # the stacked snapshots' O(T x capacity).
+        staged_add, staged_del = G.staged_deltas()
+        staged_add = staged_add[lags : lags + t_total]
+        staged_del = staged_del[lags : lags + t_total]
+        init_store = G.snapshot_store(lags - 1)
+        stacked = None
+        weights = None
+    else:
+        stacked = (
+            G.stacked()
+            if args.type == "delta"
+            else NaiveGraph(edge_lists, weight_lists).stacked()
+        )
+        # Align snapshot t+lags with feature window t (reference uses graphs
+        # starting at lag offset).
+        stacked = jax.tree_util.tree_map(lambda x: x[lags : lags + t_total], stacked)
+        weights = None
+        if args.type == "naive":
+            weights = G.stacked_weights()[lags : lags + t_total]
 
     # Positive edges per snapshot for the link-prediction loss: reuse the
     # stacked CSR's own (padded) edges; negatives are uniform random.
     model = TGCN(lags, args.num_hidden)
-    params = jax.jit(
-        lambda k, x: model.init(
-            k, jax.tree_util.tree_map(lambda a: a[0], stacked), x
-        )
-    )(jax.random.key(0), feats[0])
+    init_csr = (
+        G.get_graph(lags)
+        if args.type == "delta-scan"
+        else jax.tree_util.tree_map(lambda a: a[0], stacked)
+    )
+    params = jax.jit(lambda k, x: model.init(k, init_csr, x))(
+        jax.random.key(0), feats[0]
+    )
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     def decode(h, srcs, dsts):
         return jnp.sum(h[srcs] * h[dsts], axis=-1)
 
+    def step_loss(params, hidden, key, csr_t, x_t, w_t):
+        hidden = model.apply(
+            params, csr_t, x_t,
+            edge_weight=None if w_t is None else w_t,
+            hidden=hidden,
+        )
+        key, k1, k2 = jax.random.split(key, 3)
+        pos = decode(hidden, csr_t.cols, csr_t.rows)
+        neg_s = jax.random.randint(k1, csr_t.cols.shape, 0, n)
+        neg_d = jax.random.randint(k2, csr_t.cols.shape, 0, n)
+        neg = decode(hidden, neg_s, neg_d)
+        mask = csr_t.edge_mask
+        pos_loss = optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos))
+        neg_loss = optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg))
+        loss = jnp.sum(jnp.where(mask, pos_loss + neg_loss, 0.0)) / jnp.maximum(
+            mask.sum(), 1
+        )
+        return hidden, key, loss
+
     @jax.jit
     def epoch_step(params, opt_state, key):
         def loss_fn(params):
-            def body(carry, xs):
-                hidden, key = carry
-                csr_t, x_t, w_t = xs
-                hidden = model.apply(
-                    params, csr_t, x_t,
-                    edge_weight=None if w_t is None else w_t,
-                    hidden=hidden,
+            if args.type == "delta-scan":
+                from stgraph_tpu.graph.delta_graph import (
+                    EdgeStore,
+                    apply_delta,
+                    edge_store_to_csr,
                 )
-                key, k1, k2 = jax.random.split(key, 3)
-                pos = decode(hidden, csr_t.cols, csr_t.rows)
-                neg_s = jax.random.randint(k1, csr_t.cols.shape, 0, n)
-                neg_d = jax.random.randint(k2, csr_t.cols.shape, 0, n)
-                neg = decode(hidden, neg_s, neg_d)
-                mask = csr_t.edge_mask
-                pos_loss = optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos))
-                neg_loss = optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg))
-                loss = jnp.sum(jnp.where(mask, pos_loss + neg_loss, 0.0)) / jnp.maximum(
-                    mask.sum(), 1
-                )
-                return (hidden, key), loss
 
-            init = (jnp.zeros((n, args.num_hidden)), key)
-            xs = (stacked, feats, weights)
-            (_, _), losses = jax.lax.scan(body, init, xs)
+                def body(carry, xs):
+                    hidden, key, rows, cols, ne = carry
+                    add, dele, x_t = xs
+                    store = apply_delta(
+                        EdgeStore(rows, cols, ne, n),
+                        add[:, 1], add[:, 0],  # row = dst
+                        dele[:, 1], dele[:, 0],
+                    )
+                    csr_t = edge_store_to_csr(store)
+                    hidden, key, loss = step_loss(
+                        params, hidden, key, csr_t, x_t, None
+                    )
+                    return (
+                        hidden, key, store.rows, store.cols, store.num_edges
+                    ), loss
+
+                init = (
+                    jnp.zeros((n, args.num_hidden)),
+                    key,
+                    jnp.asarray(init_store.rows),
+                    jnp.asarray(init_store.cols),
+                    jnp.asarray(init_store.num_edges),
+                )
+                xs = (staged_add, staged_del, feats)
+            else:
+                def body(carry, xs):
+                    hidden, key = carry
+                    csr_t, x_t, w_t = xs
+                    hidden, key, loss = step_loss(
+                        params, hidden, key, csr_t, x_t, w_t
+                    )
+                    return (hidden, key), loss
+
+                init = (jnp.zeros((n, args.num_hidden)), key)
+                xs = (stacked, feats, weights)
+            _, losses = jax.lax.scan(body, init, xs)
             return losses.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -26,7 +26,7 @@ deltas are staged on device up front, padded to the largest delta.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -54,7 +54,6 @@ def _lexsort_rc(rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     return o1[jnp.argsort(rows[o1], stable=True)]
 
 
-@partial(jax.jit, static_argnames=())
 def apply_delta(
     store: EdgeStore,
     add_rows: jnp.ndarray,
@@ -68,6 +67,11 @@ def apply_delta(
     lengths are implied by the sentinels. Deletions must name existing
     edges; additions must be new (same contract as the reference's
     ``edge_update_t``, ``gpma.cu:1064``).
+
+    Deliberately not ``@jax.jit``-decorated: jit would turn the static
+    ``num_nodes`` into a traced output, breaking CSR materialization
+    downstream. Call it inside your own jitted step (e.g. a ``lax.scan``
+    body — see ``benchmarking/dynamic-temporal-tgcn --type delta-scan``).
     """
     n = store.num_nodes
     # Tag: 0 = existing/added edge, 1 = tombstone. After a stable sort by
@@ -288,3 +292,30 @@ class DeltaGraph(DynamicGraph):
         """All snapshots as one CSR pytree with a leading (T,) axis."""
         csrs = [self.get_graph(t) for t in range(self._num_timestamps)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *csrs)
+
+    def staged_deltas(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-staged deltas: ((T, A, 2) additions, (T, D, 2) deletions).
+
+        Each row is (src, dst); padding rows carry the sentinel
+        ``num_nodes``. Feed these to ``apply_delta`` inside a ``lax.scan``
+        to mutate the structure *within* the compiled step — the GPMA
+        ``edge_update_t`` capability (``gpma.cu:1064``) without leaving the
+        XLA program.
+        """
+        return self._staged_add, self._staged_del
+
+    def snapshot_store(self, timestamp: int) -> EdgeStore:
+        """The (host numpy) edge store after replaying deltas 0..timestamp.
+
+        ``timestamp = -1`` returns the empty initial store — the natural
+        ``lax.scan`` carry seed for in-step delta replay.
+        """
+        if timestamp < 0:
+            n = self._num_nodes
+            return EdgeStore(
+                rows=np.full((self._capacity,), n, np.int32),
+                cols=np.full((self._capacity,), n, np.int32),
+                num_edges=np.int32(0),
+                num_nodes=n,
+            )
+        return self._snapshots[timestamp]

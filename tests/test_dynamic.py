@@ -134,3 +134,51 @@ def test_apply_delta_randomized_vs_set_oracle(seed):
         expect = set(snaps[ti])
         assert got == expect, f"t={ti}: {got ^ expect}"
         assert int(np.asarray(csr.num_edges)) == len(expect)
+
+
+def test_delta_replay_inside_scan_matches_snapshots(rng):
+    """apply_delta carried through lax.scan reproduces every host snapshot —
+    the in-step structure-mutation path (--type delta-scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.graph.delta_graph import (
+        DeltaGraph,
+        EdgeStore,
+        apply_delta,
+    )
+
+    n, t_steps = 40, 6
+    edge_lists = []
+    edges = set()
+    for _ in range(t_steps):
+        for _ in range(15):
+            edges.add((int(rng.integers(0, n)), int(rng.integers(0, n))))
+        drop = [e for e in list(edges) if rng.random() < 0.2]
+        for e in drop:
+            edges.discard(e)
+        edge_lists.append(sorted(edges))
+
+    G = DeltaGraph(edge_lists)
+    add, dele = G.staged_deltas()
+    init = G.snapshot_store(-1)
+
+    @jax.jit
+    def replay(rows, cols, ne):
+        def body(carry, xs):
+            r, c, k = carry
+            a, d = xs
+            s = apply_delta(EdgeStore(r, c, k, n), a[:, 1], a[:, 0], d[:, 1], d[:, 0])
+            return (s.rows, s.cols, s.num_edges), (s.rows, s.cols, s.num_edges)
+
+        _, outs = jax.lax.scan(body, (rows, cols, ne), (add, dele))
+        return outs
+
+    rows_t, cols_t, ne_t = replay(
+        jnp.asarray(init.rows), jnp.asarray(init.cols), jnp.asarray(init.num_edges)
+    )
+    for t in range(t_steps):
+        snap = G.snapshot_store(t)
+        np.testing.assert_array_equal(np.asarray(rows_t[t]), snap.rows)
+        np.testing.assert_array_equal(np.asarray(cols_t[t]), snap.cols)
+        assert int(ne_t[t]) == int(snap.num_edges) == len(edge_lists[t])
