@@ -77,13 +77,36 @@ class GATConv(fnn.Module):
         # (pinned together by tests/test_nn.py::test_gat_dense_path_agrees).
         csr = getattr(graph, "fwd_csr", graph)
         n = csr.num_nodes
-        if self.impl in ("auto", "dense") and not isinstance(
-            csr.rows, jax.core.Tracer
-        ) and n * n * 4 <= _DENSE_ATTN_BUDGET_BYTES:
+        concrete = not isinstance(csr.rows, jax.core.Tracer)
+        if (
+            self.impl in ("auto", "dense")
+            and concrete
+            and n * n * 4 <= _DENSE_ATTN_BUDGET_BYTES
+        ):
             from stgraph_tpu.ops.attention import dense_gat_attention
 
             rst = dense_gat_attention(
                 csr, el, er, feat_src, negative_slope=negative_slope
+            )
+            if self.activation is not None:
+                rst = self.activation(rst)
+            return rst
+
+        # Large-graph fast path: scatter-free fused segment softmax —
+        # stability max on the narrow position-masked kernel, normalizer
+        # fused into the multihead blocked SpMM (ops/attention.py).
+        if self.impl in ("auto", "sparse") and concrete:
+            from stgraph_tpu.ops.attention import sparse_gat_attention
+
+            rst = sparse_gat_attention(
+                csr,
+                el,
+                er,
+                feat_src,
+                negative_slope=negative_slope,
+                blocked=getattr(graph, "blocked_fwd", None),
+                blocked_t=getattr(graph, "blocked_bwd", None),
+                csr_t=getattr(graph, "bwd_csr", None),
             )
             if self.activation is not None:
                 rst = self.activation(rst)

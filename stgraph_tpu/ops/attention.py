@@ -22,7 +22,7 @@ import numpy as np
 
 from stgraph_tpu.graph.csr import CSR
 
-__all__ = ["dense_gat_attention"]
+__all__ = ["dense_gat_attention", "sparse_gat_attention"]
 
 
 def _dense_counts(csr: CSR) -> np.ndarray:
@@ -74,3 +74,171 @@ def dense_gat_attention(
 
     out = jax.lax.map(per_head, (el2.T, er2.T, x))  # (H, N, F)
     return jnp.moveaxis(out, 0, 1)  # (N, H, F)
+
+
+def sparse_gat_attention(
+    csr: CSR,
+    el: jnp.ndarray,  # (N, H, 1) source-side scores
+    er: jnp.ndarray,  # (N, H, 1) destination-side scores
+    feat_src: jnp.ndarray,  # (N, H, F)
+    negative_slope: float = 0.2,
+    blocked=None,
+    blocked_t=None,
+    csr_t: CSR = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Large-graph GAT attention, scatter-free forward AND backward.
+
+    Forward: per-edge logits from two gathers, stability max and softmax
+    normalizer on the position-masked narrow kernels, weighted aggregation
+    on the multihead blocked SpMM.
+
+    Backward is hand-derived (one ``custom_vjp`` over the whole op) because
+    XLA's gather VJP is a serialized scatter-add — exactly the op this path
+    exists to avoid. The softmax structure eliminates every scatter:
+
+      * ``d feat_src`` — the same multihead SpMM on the transpose CSR with
+        the (recomputed) attention coefficients;
+      * ``d alpha_e = <g[dst_e], feat_src[src_e]>`` — per-edge SDDMM
+        (gathers only);
+      * softmax VJP: ``d s_e = alpha_e (d alpha_e - c[dst_e])`` where
+        ``c[d] = sum_e alpha_e d alpha_e = <g[d], out[d]>`` — a *node-wise*
+        dot, no extra aggregation;
+      * ``d el / d er`` — narrow segment sums on the transpose / forward
+        CSR;
+      * ``d m = 0`` exactly (softmax is invariant to the shift), so the max
+        contributes no backward term at all.
+
+    Reference counterpart: the fused GAT kernels plus the sympy peephole
+    that reuses materialized softmax sums in backward
+    (``stgraph/compiler/passes/peephole.py``); here the peephole's insight
+    is the closed-form ``c = <g, out>``.
+    """
+    from stgraph_tpu.ops import message as M
+    from stgraph_tpu.ops import segment_pallas as nsp
+    from stgraph_tpu.ops.message import _on_tpu
+
+    n, h, f = feat_src.shape
+    cap = csr.capacity
+    # Fused row-masked kernel: weights applied in-kernel from an (H, E)
+    # stream, softmax denominator accumulated in the same pass. Falls back
+    # to the composed spmm when off-TPU or the head/feature tiling doesn't
+    # divide 128.
+    use_rowmask = (
+        (interpret or _on_tpu())
+        and (h == 1 or (128 % f == 0 and (h * f) % 128 == 0))
+    )
+    _, rows_np, cols_np, eids_np = csr.host_arrays()
+    rows_c = np.minimum(rows_np, n - 1)
+    cols_c = np.minimum(cols_np, n - 1)
+    emask = (rows_np < n).astype(np.float32)
+    if csr_t is None:
+        csr_t = csr.transpose()
+    # Host-side permutation: transpose-CSR edge position -> forward-CSR
+    # edge position (shared user eids), for routing per-edge values.
+    _, _, _, eids_t_np = csr_t.host_arrays()
+    pos_in_fwd = np.zeros(cap + 1, np.int32)
+    pos_in_fwd[np.minimum(eids_np, cap)] = np.arange(cap, dtype=np.int32)
+    perm_t = pos_in_fwd[np.minimum(eids_t_np, cap)]
+
+    slope = negative_slope
+
+    def raw_logits(el2, er2):
+        return el2[cols_c] + er2[rows_c]  # (cap, H)
+
+    def leaky(s0):
+        return jnp.where(s0 >= 0, s0, slope * s0)
+
+    @jax.custom_vjp
+    def attn(el2, er2, fs):
+        out, _, _ = _fwd_parts(el2, er2, fs)
+        return out
+
+    def _fwd_parts(el2, er2, fs):
+        s = leaky(raw_logits(el2, er2))
+        m = M.aggregate(csr, s, reduce="max", blocked=blocked)  # (N, H)
+        w = jnp.exp(s - m[rows_c]) * emask[:, None]
+        denom = None
+        if not use_rowmask:
+            denom = jnp.maximum(
+                M.aggregate(csr, w, reduce="sum", blocked=blocked),
+                jnp.finfo(jnp.float32).tiny,
+            )  # (N, H)
+        # Aggregate with the *unnormalized* weights and divide at node
+        # level: E-domain division + a denom[dst] gather would cost several
+        # ms at 2M edges (narrow-lane edge streams); the (N, H) divide is
+        # noise.
+        if use_rowmask:
+            u_flat, den_k = nsp.spmm_rowmask(
+                csr, w, fs.reshape(n, h * f), heads=h,
+                with_denom=True, interpret=interpret,
+            )
+            denom = jnp.maximum(den_k, jnp.finfo(jnp.float32).tiny)
+            u = u_flat.reshape(n, h, f)
+        else:
+            u = M.spmm(
+                csr,
+                fs,
+                edge_weight=w,
+                impl="auto",
+                blocked=blocked,
+                blocked_t=blocked_t,
+                csr_t=csr_t,
+            )  # (N, H, F)
+        out = u / denom[:, :, None]
+        return out, m, denom
+
+    def fwd(el2, er2, fs):
+        out, m, denom = _fwd_parts(el2, er2, fs)
+        return out, (el2, er2, fs, m, denom, out)
+
+    def bwd(res, g):
+        el2, er2, fs, m, denom, out = res
+        s0 = raw_logits(el2, er2)
+        w = jnp.exp(leaky(s0) - m[rows_c]) * emask[:, None]
+        gu = g / denom[:, :, None]  # cotangent of the pre-division sum
+        # d feat_src: transpose aggregation with the same weights.
+        if use_rowmask:
+            dfs_flat, _ = nsp.spmm_rowmask(
+                csr_t, w[perm_t], gu.reshape(n, h * f), heads=h,
+                interpret=interpret,
+            )
+            dfs = dfs_flat.reshape(n, h, f)
+        else:
+            dfs = M.spmm(
+                csr_t,
+                gu,
+                edge_weight=w[perm_t],
+                impl="auto",
+                blocked=blocked_t,
+                blocked_t=blocked,
+                csr_t=csr,
+            )
+        # Softmax VJP without any scatter: the normalizer's backward term
+        # is the node-wise dot c = <g, out> / denom (the peephole closed
+        # form), and d m = 0 exactly by softmax shift invariance.
+        # SDDMM on FLATTENED (N, H*F) tables: 3-D row gathers lower to a
+        # per-element path on TPU (measured 520 ms vs ~8 ms flattened).
+        fs2 = fs.reshape(n, h * f)
+        gu2 = gu.reshape(n, h * f)
+        dw = jnp.sum(
+            (fs2[cols_c] * gu2[rows_c]).reshape(cap, h, f), axis=-1
+        )  # (cap, H)
+        c = jnp.sum(g * out, axis=-1) / denom  # (N, H)
+        ds = w * (dw - c[rows_c])
+        ds0 = ds * jnp.where(s0 >= 0, 1.0, slope)
+        der = M.aggregate(csr, ds0, reduce="sum", blocked=blocked)
+        dl = M.aggregate(csr_t, ds0[perm_t], reduce="sum", blocked=blocked_t)
+        return (
+            dl.astype(el2.dtype),
+            der.astype(er2.dtype),
+            dfs.astype(fs.dtype),
+        )
+
+    attn.defvjp(fwd, bwd)
+    out = attn(
+        el[..., 0].astype(jnp.float32),
+        er[..., 0].astype(jnp.float32),
+        feat_src,
+    )
+    return out.astype(feat_src.dtype)

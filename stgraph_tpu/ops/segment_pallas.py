@@ -408,3 +408,233 @@ def segment_max_narrow(
 
     f.defvjp(fwd, bwd)
     return f(edge_vals)
+
+
+# ---------------------------------------------------------------------------
+# Row-masked weighted SpMM: the fused multihead aggregation kernel.
+# ---------------------------------------------------------------------------
+
+# Gathered-feature bytes per streamed segment (bounds peak HBM at ogbn scale).
+_SEGMENT_BYTES = 512 * 1024 * 1024
+
+
+def _spmm_rowmask_kernel(
+    astart_ref,  # (NB,) scalar prefetch
+    nchunks_ref,  # (NB,)
+    bs_ref,  # (1, ROW_BLOCK, 1) block
+    be_ref,  # (1, ROW_BLOCK, 1) block
+    w_ref,  # (K_pad, CAP_pad) HBM — transposed CSR-order weights
+    feats_ref,  # (CAP_pad, F_pad) HBM — gathered source features, CSR order
+    out_ref,  # (ROW_BLOCK, LANES) block
+    den_ref,  # (ROW_BLOCK, LANES) block (lanes 0..K_pad hold the denominator)
+    w_scratch,  # (2, K_pad, EDGE_CHUNK)
+    feat_scratch,  # (2, EDGE_CHUNK, LANES)
+    acc_scratch,  # (ROW_BLOCK, LANES) f32
+    den_scratch,  # (ROW_BLOCK, LANES) f32
+    w_sem,
+    feat_sem,
+    *,
+    k_pad: int,
+    feats_per_head: int,
+    single_head: bool,
+    with_denom: bool,
+):
+    rb = pl.program_id(0)
+    ft = pl.program_id(1)
+    heads_per_tile = 128 // feats_per_head
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return (
+            pltpu.make_async_copy(
+                w_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+                w_scratch.at[slot],
+                w_sem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                feats_ref.at[pl.ds(off, EDGE_CHUNK), pl.ds(ft * 128, 128)],
+                feat_scratch.at[slot],
+                feat_sem.at[slot],
+            ),
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
+
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    if with_denom:
+
+        @pl.when(ft == 0)
+        def _():
+            den_scratch[...] = jnp.zeros_like(den_scratch)
+
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    # Spread matrix: lane l of this feature tile belongs to head
+    # ft*heads_per_tile + l // F; S scatters the (K_pad, E) weight rows onto
+    # their lanes via one tiny exact matmul (no in-kernel transpose needed).
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 1)
+    if single_head:
+        spread = (h_ids == 0).astype(jnp.float32)  # every lane is head 0
+    else:
+        spread = (
+            h_ids == ft * heads_per_tile + l_ids // feats_per_head
+        ).astype(jnp.float32)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
+
+        for d in dma(slot, i):
+            d.wait()
+
+        pos = pos0 + i * EDGE_CHUNK
+        m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0]).astype(
+            jnp.float32
+        )  # (ROW_BLOCK, EDGE_CHUNK)
+        w_chunk = w_scratch[slot]  # (K_pad, EDGE_CHUNK)
+        w_lane = jax.lax.dot_general(
+            w_chunk,
+            spread,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (EDGE_CHUNK, 128): per-edge weight broadcast onto its head lanes
+        scaled = feat_scratch[slot] * w_lane
+        acc_scratch[...] += jnp.dot(
+            m, scaled, preferred_element_type=jnp.float32
+        )
+        if with_denom:
+
+            @pl.when(ft == 0)
+            def _():
+                den_scratch[:, :k_pad] += jax.lax.dot_general(
+                    m,
+                    w_chunk,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (ROW_BLOCK, K_pad)
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    out_ref[...] = acc_scratch[...]
+    if with_denom:
+        den_ref[...] = den_scratch[...]
+    else:
+        den_ref[...] = jnp.zeros_like(den_scratch)
+
+
+def spmm_rowmask(
+    csr: CSR,
+    w: jnp.ndarray,  # (capacity, heads) CSR-order edge weights
+    node_feats: jnp.ndarray,  # (N, heads * F) flat source features
+    heads: int = 1,
+    with_denom: bool = False,
+    interpret: bool = False,
+):
+    """out[d] = sum_e w[e, h] * node_feats[src_e, h-lanes] — fused weighted
+    multihead SpMM reading CSR order directly through positional row masks.
+
+    Replaces the blocked-layout pipeline for the hot GAT aggregation: no
+    permutation of weights into blocked order, no sentinel dst stream, no
+    materialized (E, F) weight plane (XLA's repeat+multiply costs gigabytes
+    at scale). ``with_denom=True`` additionally returns
+    ``denom[d, h] = sum_e w[e, h]`` accumulated in the same pass — the
+    softmax normalizer for free.
+
+    Requirements: ``heads * F`` divisible by 128 and ``128 % F == 0``
+    (single-head: any F, padded to 128 lanes). Returns ``(out, denom)``;
+    ``denom`` is None unless requested.
+    """
+    meta = row_block_meta(csr)
+    n = csr.num_nodes
+    cap = csr.capacity
+    f_flat = node_feats.shape[-1]
+    f = f_flat // heads
+    if f * heads != f_flat:
+        raise ValueError("node_feats width must be heads * F")
+    if heads > 1 and (128 % f != 0 or f_flat % 128 != 0):
+        raise ValueError(
+            "multihead spmm_rowmask needs 128 % F == 0 and heads*F % 128 == 0"
+        )
+    k_pad = max(_round_up(heads, 8), 8)
+    f_pad = _round_up(max(f_flat, 128), 128)
+    _, rows_np, cols_np, _ = csr.host_arrays()
+    cols_c = np.minimum(cols_np, n - 1)
+    emask = (rows_np < n).astype(np.float32)
+
+    wt = jnp.pad(
+        w.reshape(cap, heads).astype(jnp.float32) * emask[:, None],
+        ((0, meta.cap_pad - cap), (0, k_pad - heads)),
+    ).T  # (K_pad, CAP_pad)
+
+    # Row padding rides the gather indices (an explicit pad would copy
+    # the whole (E, F) plane — gigabytes at scale).
+    cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
+    gathered = node_feats.astype(jnp.float32)[cols_pad]
+    if f_pad != f_flat:
+        gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(meta.num_blocks, f_pad // 128),
+        in_specs=[
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
+            pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
+            pltpu.VMEM((2, EDGE_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, den = pl.pallas_call(
+        functools.partial(
+            _spmm_rowmask_kernel,
+            k_pad=k_pad,
+            feats_per_head=f if heads > 1 else 128,
+            single_head=heads == 1,
+            with_denom=with_denom,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((meta.num_rows_padded, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((meta.num_rows_padded, 128), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * meta.cap_pad * f_pad,
+            bytes_accessed=meta.cap_pad * 4 * (f_pad + k_pad)
+            + meta.num_rows_padded * f_pad * 4,
+            transcendentals=0,
+        ),
+    )(
+        meta.astart,
+        meta.nchunks,
+        meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1),
+        meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1),
+        wt,
+        gathered,
+    )
+    out = out[:n, :f_flat]
+    if with_denom:
+        return out, den[:n, :heads]
+    return out, None

@@ -255,9 +255,12 @@ def _gather_scale_segment_sum(
 
     def scale(gathered, w_slice):
         if heads == 1:
-            w2 = w_slice.reshape(-1, 1)
-        else:  # per-head weights over flattened (H, F/H) lanes
-            w2 = jnp.repeat(w_slice, f // heads, axis=1)
+            return gathered * w_slice.reshape(-1, 1).astype(gathered.dtype)
+        # Per-head weights over flattened (H, F/H) lanes. A 2-D repeat
+        # materializes an (E, F) weight plane but keeps everything in the
+        # fast 128-lane layout; routing the multiply through an
+        # (E, H, F/H) reshape measures ~2x slower (3-D relayouts).
+        w2 = jnp.repeat(w_slice, f // heads, axis=1)
         return gathered * w2.astype(gathered.dtype)
 
     itemsize = jnp.dtype(h_flat.dtype).itemsize
@@ -383,8 +386,14 @@ def _make_spmm_multihead(
         dh = _gather_scale_segment_sum(
             bb, g.reshape(g.shape[0], heads * feat), wb_t, interpret
         )[:n].reshape(n, heads, feat)
-        # dw[e,h] = sum_f h[src_e,h,f] * g[dst_e,h,f]  (per-head SDDMM).
-        dw = jnp.sum(h[csr.cols] * g[csr.rows], axis=-1)
+        # dw[e,h] = sum_f h[src_e,h,f] * g[dst_e,h,f]  (per-head SDDMM) on
+        # FLATTENED (N, H*F) tables — 3-D row gathers lower to a slow
+        # per-element path on TPU.
+        h2 = h.reshape(n, heads * feat)
+        g2 = g.reshape(g.shape[0], heads * feat)
+        dw = jnp.sum(
+            (h2[csr.cols] * g2[csr.rows]).reshape(-1, heads, feat), axis=-1
+        )
         dw = jnp.where(csr.edge_mask[:, None], dw, 0.0)
         return (dh, dw.astype(w.dtype))
 

@@ -216,3 +216,89 @@ def test_gat_dense_isolated_nodes_finite(rng):
     out = conv.apply(params, g, x)
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_allclose(np.asarray(out)[3], 0.0, atol=1e-6)
+
+
+def test_gat_sparse_path_agrees(setup, rng):
+    """Fused sparse attention (ones-column normalizer) == vertex program,
+    values and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.nn import GATConv
+
+    g, x, *_ = setup
+    conv_s = GATConv(x.shape[-1], 8, num_heads=4, impl="sparse")
+    conv_j = GATConv(x.shape[-1], 8, num_heads=4, impl="jnp")
+    params = conv_s.init(jax.random.key(0), g, x)
+    out_s = conv_s.apply(params, g, x)
+    out_j = conv_j.apply(params, g, x)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_j), rtol=1e-4, atol=1e-4
+    )
+
+    def loss(c):
+        return lambda p, xx: jnp.sum(c.apply(p, g, xx) ** 2)
+
+    gs_p, gs_x = jax.grad(loss(conv_s), argnums=(0, 1))(params, x)
+    gj_p, gj_x = jax.grad(loss(conv_j), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gs_x), np.asarray(gj_x), rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(gs_p), jax.tree.leaves(gj_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_gat_sparse_isolated_nodes_finite(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GATConv
+
+    g = StaticGraph([(0, 1), (1, 2), (2, 0)], None, 4)
+    x = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32)) * 40.0
+    conv = GATConv(6, 4, num_heads=2, impl="sparse")
+    params = conv.init(jax.random.key(0), g, x)
+    out = conv.apply(params, g, x)
+    assert bool(jnp.isfinite(out).all())
+    assert np.allclose(np.asarray(out)[3], 0.0)
+
+
+def test_sparse_attention_rowmask_interpret_agrees(setup, rng):
+    """ops.sparse_gat_attention with the fused rowmask kernel (interpret)
+    == jnp segment-softmax oracle, values and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops import segment as seg
+    from stgraph_tpu.ops.attention import sparse_gat_attention
+
+    g, x, *_ = setup
+    csr = g.fwd_csr
+    n = csr.num_nodes
+    h, f = 2, 64  # 128 % 64 == 0, 2*64 % 128 == 0 -> rowmask eligible
+    el = jnp.asarray(rng.standard_normal((n, h, 1)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h, 1)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+
+    def oracle(el, er, fs):
+        s = el[..., 0][csr.cols] + er[..., 0][csr.rows]
+        s = jnp.where(s >= 0, s, 0.2 * s)
+        alpha = seg.segment_softmax(s, csr.rows, n, edge_mask=csr.edge_mask)
+        msg = fs[jnp.minimum(csr.cols, n - 1)] * alpha[:, :, None]
+        return seg.segment_sum(msg, csr.rows, n, edge_mask=csr.edge_mask)
+
+    out = sparse_gat_attention(csr, el, er, fs, interpret=True)
+    ref = oracle(el, er, fs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    gref = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    grads = jax.grad(
+        lambda *a: jnp.sum(sparse_gat_attention(csr, *a, interpret=True) * gref),
+        argnums=(0, 1, 2),
+    )(el, er, fs)
+    grads_ref = jax.grad(
+        lambda *a: jnp.sum(oracle(*a) * gref), argnums=(0, 1, 2)
+    )(el, er, fs)
+    for a, b in zip(grads, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+        )

@@ -120,3 +120,39 @@ def test_narrow_sum_large_random_block_spans(rng):
     out = NSP.segment_sum_narrow(csr, jnp.asarray(vals), interpret=True)
     ref = seg.segment_sum(jnp.asarray(vals), csr.rows, n, edge_mask=csr.edge_mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("heads,f", [(1, 7), (1, 130), (4, 32), (8, 16)])
+def test_spmm_rowmask_matches_oracle(graph, rng, heads, f):
+    n = graph.num_nodes
+    w = rng.random((graph.capacity, heads)).astype(np.float32)
+    x = rng.standard_normal((n, heads * f)).astype(np.float32)
+    out, den = NSP.spmm_rowmask(
+        graph, jnp.asarray(w), jnp.asarray(x), heads=heads,
+        with_denom=True, interpret=True,
+    )
+    rows = np.asarray(graph.rows)
+    cols = np.asarray(graph.cols)
+    valid = rows < n
+    ref = np.zeros((n, heads * f), np.float32)
+    ref_den = np.zeros((n, heads), np.float32)
+    x3 = x.reshape(n, heads, f)
+    for e in np.flatnonzero(valid):
+        d, s_ = rows[e], cols[e]
+        for h in range(heads):
+            ref[d, h * f : (h + 1) * f] += w[e, h] * x3[s_, h]
+            ref_den[d, h] += w[e, h]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(den), ref_den, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_rowmask_single_head_unweighted_equals_adjacency(graph, rng):
+    n = graph.num_nodes
+    x = rng.standard_normal((n, 130)).astype(np.float32)
+    ones = jnp.ones((graph.capacity, 1), jnp.float32)
+    out, _ = NSP.spmm_rowmask(graph, ones, jnp.asarray(x), heads=1, interpret=True)
+    rows, cols = np.asarray(graph.rows), np.asarray(graph.cols)
+    a = np.zeros((n, n), np.float32)
+    valid = rows < n
+    np.add.at(a, (rows[valid], cols[valid]), 1.0)
+    np.testing.assert_allclose(np.asarray(out), a @ x, rtol=1e-4, atol=1e-4)
