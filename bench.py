@@ -196,6 +196,48 @@ def bench_pallas_spmm(n=100_000, e=2_000_000, f=128):
     }
 
 
+def bench_gat_layer(n=100_000, e=2_000_000, heads=8, f_in=64, f_out=32):
+    """Large-graph GAT layer fwd+bwd (the scatter-free attention pipeline).
+
+    Iterations are chained through a lax.scan whose carry folds in
+    jnp.sum(out) — every element forced, so XLA cannot dead-code parts of
+    the segmented pipeline (docs/PERF.md methodology note).
+    """
+    import jax
+    import jax.numpy as jnp
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GATConv
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = StaticGraph(np.stack([src, dst], 1), None, n)
+    x = jax.device_put(rng.standard_normal((n, f_in)).astype(np.float32))
+    conv = GATConv(f_in, f_out, num_heads=heads, impl="sparse")
+    params = jax.jit(lambda xx: conv.init(jax.random.key(0), g, xx))(x)
+    iters = 10
+
+    @jax.jit
+    def run():
+        def body(carry, _):
+            def loss(p):
+                return jnp.sum(conv.apply(p, g, x * carry) ** 2)
+
+            grads = jax.grad(loss)(params)
+            leaf = jax.tree_util.tree_leaves(grads)[0]
+            c = 1.0 + 0.0 * jax.lax.stop_gradient(jnp.sum(leaf))
+            return c.astype(jnp.float32), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
+        return c
+
+    run().block_until_ready()
+    t0 = time.perf_counter()
+    run().block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return {"gat_fwd_bwd_s": dt, "gat_edges_per_s": e / dt}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -233,7 +275,11 @@ def main():
     )
 
     if not args.quick:
-        for name, fn in (("tgcn", bench_tgcn_epoch), ("pallas", bench_pallas_spmm)):
+        for name, fn in (
+            ("tgcn", bench_tgcn_epoch),
+            ("pallas", bench_pallas_spmm),
+            ("gat", bench_gat_layer),
+        ):
             try:
                 for k, v in fn().items():
                     print(f"  {k}: {v}", file=sys.stderr)

@@ -146,6 +146,9 @@ class CSR:
         """
         n = self.num_nodes
         if not isinstance(self.rows, jax.core.Tracer):
+            cached = getattr(self, "_transpose_cache", None)
+            if cached is not None:
+                return cached
             # Concrete CSR: transpose host-side (numpy) — no device argsort
             # dispatches, and the result carries its own host mirror.
             _, rows, cols, eids = self.host_arrays()
@@ -154,9 +157,11 @@ class CSR:
             counts = np.bincount(t_rows[t_rows < n], minlength=n)
             indptr = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(counts, out=indptr[1:])
-            return _make_csr_with_host(
+            out = _make_csr_with_host(
                 indptr, t_rows, t_cols, t_eids, n, self.num_edges
             )
+            object.__setattr__(self, "_transpose_cache", out)
+            return out
         # Sort by (col, row) without forming a wide composite key (which
         # would overflow int32 for n > ~46k): two stable argsorts — first by
         # row, then by col. Padding already carries col == n, so it sorts

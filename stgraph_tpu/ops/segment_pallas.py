@@ -497,9 +497,10 @@ def _spmm_rowmask_kernel(
             d.wait()
 
         pos = pos0 + i * EDGE_CHUNK
+        feat_dtype = feat_scratch.dtype
         m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0]).astype(
-            jnp.float32
-        )  # (ROW_BLOCK, EDGE_CHUNK)
+            feat_dtype
+        )  # (ROW_BLOCK, EDGE_CHUNK); 0/1 are exact in bf16
         w_chunk = w_scratch[slot]  # (K_pad, EDGE_CHUNK)
         w_lane = jax.lax.dot_general(
             w_chunk,
@@ -508,7 +509,11 @@ def _spmm_rowmask_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (EDGE_CHUNK, 128): per-edge weight broadcast onto its head lanes
-        scaled = feat_scratch[slot] * w_lane
+        # bf16 feats run the MXU at double rate and halve the dominant HBM
+        # stream; the accumulator stays f32 via preferred_element_type.
+        scaled = (feat_scratch[slot].astype(jnp.float32) * w_lane).astype(
+            feat_dtype
+        )
         acc_scratch[...] += jnp.dot(
             m, scaled, preferred_element_type=jnp.float32
         )
@@ -568,6 +573,9 @@ def spmm_rowmask(
         )
     k_pad = max(_round_up(heads, 8), 8)
     f_pad = _round_up(max(f_flat, 128), 128)
+    feat_dtype = (
+        jnp.bfloat16 if node_feats.dtype == jnp.bfloat16 else jnp.float32
+    )
     _, rows_np, cols_np, _ = csr.host_arrays()
     cols_c = np.minimum(cols_np, n - 1)
     emask = (rows_np < n).astype(np.float32)
@@ -580,7 +588,7 @@ def spmm_rowmask(
     # Row padding rides the gather indices (an explicit pad would copy
     # the whole (E, F) plane — gigabytes at scale).
     cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
-    gathered = node_feats.astype(jnp.float32)[cols_pad]
+    gathered = node_feats.astype(feat_dtype)[cols_pad]
     if f_pad != f_flat:
         gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
 
@@ -599,7 +607,7 @@ def spmm_rowmask(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
-            pltpu.VMEM((2, EDGE_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype),
             pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
             pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

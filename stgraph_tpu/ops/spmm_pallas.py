@@ -417,6 +417,64 @@ def _to_blocked_w_mh(blk: BlockedCSR, csr: CSR, w: jnp.ndarray) -> jnp.ndarray:
     return w[idx]
 
 
+def _make_rowmask_spmm(
+    csr: CSR, csr_t: CSR, heads: int, interpret: bool, weighted: bool = True
+):
+    """Custom-VJP SpMM over the position-masked rowmask kernel.
+
+    Forward: fused weighted aggregation in CSR order. Backward: the same
+    kernel on the transpose CSR (weights routed through the shared user
+    eids) plus a flattened SDDMM for the weight gradient — scatter-free
+    end to end.
+    """
+    from stgraph_tpu.ops import segment_pallas as nsp
+
+    n = csr.num_nodes
+    cap = csr.capacity
+    _, rows_np, cols_np, eids_np = csr.host_arrays()
+    _, _, _, eids_t_np = csr_t.host_arrays()
+    rows_c = np.minimum(rows_np, n - 1)
+    cols_c = np.minimum(cols_np, n - 1)
+    emask = (rows_np < n).astype(np.float32)
+    pos_in_fwd = np.zeros(cap + 1, np.int32)
+    pos_in_fwd[np.minimum(eids_np, cap)] = np.arange(cap, dtype=np.int32)
+    perm_t = pos_in_fwd[np.minimum(eids_t_np, cap)]
+
+    @jax.custom_vjp
+    def f(h_flat, w):  # h_flat (N, heads*F), w (cap, heads)
+        out, _ = nsp.spmm_rowmask(
+            csr, w, h_flat, heads=heads, interpret=interpret
+        )
+        return out
+
+    def fwd(h_flat, w):
+        return f(h_flat, w), (h_flat, w)
+
+    def bwd(res, g):
+        h_flat, w = res
+        dh, _ = nsp.spmm_rowmask(
+            csr_t, w[perm_t], g, heads=heads, interpret=interpret
+        )
+        if not weighted:  # constant ones: skip the SDDMM entirely
+            return dh.astype(h_flat.dtype), jnp.zeros_like(w)
+        # dw[e, h] = sum_{f in head h} h[src_e, f] * g[dst_e, f] — flattened
+        # 2-D gathers (3-D row gathers are pathologically slow on TPU).
+        prod = (h_flat[cols_c] * g[rows_c]).reshape(cap, heads, -1)
+        dw = jnp.sum(prod, axis=-1) * emask[:, None]
+        return dh.astype(h_flat.dtype), dw.astype(w.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _rowmask_eligible(csr, heads: int, f: int) -> bool:
+    if isinstance(csr.rows, jax.core.Tracer) or isinstance(
+        csr.indptr, jax.core.Tracer
+    ):
+        return False
+    return heads == 1 or (128 % f == 0 and (heads * f) % 128 == 0)
+
+
 def spmm(
     csr: CSR,
     node_feat: jnp.ndarray,
@@ -429,15 +487,25 @@ def spmm(
 ) -> jnp.ndarray:
     """Pallas SpMM entry point matching ``ops.message.spmm``'s contract.
 
-    ``blocked``/``blocked_t`` are the host-precomputed layouts (see
-    ``StaticGraph.blocked_fwd``); when absent they are built on the fly,
-    which requires concrete (non-traced) CSR arrays.
+    Preferred route is the position-masked rowmask kernel
+    (``segment_pallas.spmm_rowmask``): it reads CSR order directly, so no
+    blocked layouts or weight permutations are needed. The blocked-layout
+    pipeline remains as fallback for head/feature tilings that don't
+    divide 128.
     """
     if reduce == "sum" and node_feat.ndim == 3 and edge_weight is not None:
         # Multi-head weighted aggregation (GAT): (N, H, F) feats with
         # (capacity, H[, 1]) per-edge-per-head weights.
         w = edge_weight.reshape(edge_weight.shape[0], -1)
         if w.shape == (csr.capacity, node_feat.shape[1]):
+            n, h, fpe = node_feat.shape
+            if _rowmask_eligible(csr, h, fpe):
+                if csr_t is None:
+                    csr_t = csr.transpose()
+                out = _make_rowmask_spmm(csr, csr_t, h, interpret)(
+                    node_feat.reshape(n, h * fpe), w
+                )
+                return out.reshape(n, h, fpe).astype(node_feat.dtype)
             blocked, blocked_t = _ensure_blocked(csr, blocked, blocked_t, csr_t)
             return _make_spmm_multihead(blocked, blocked_t, csr, interpret)(
                 node_feat, w
@@ -452,6 +520,13 @@ def spmm(
             return _msg.spmm(csr, node_feat, edge_weight, reduce=reduce, impl="jnp")
     else:
         w = jnp.ones((csr.capacity,), jnp.float32)
+    if _rowmask_eligible(csr, 1, node_feat.shape[-1]):
+        if csr_t is None:
+            csr_t = csr.transpose()
+        out = _make_rowmask_spmm(csr, csr_t, 1, interpret, weighted=weighted)(
+            node_feat, w.reshape(-1, 1)
+        )
+        return out.astype(node_feat.dtype)
     blocked, blocked_t = _ensure_blocked(csr, blocked, blocked_t, csr_t)
     return _make_spmm(blocked, blocked_t, weighted, interpret, csr)(node_feat, w)
 

@@ -156,3 +156,17 @@ def test_spmm_rowmask_single_head_unweighted_equals_adjacency(graph, rng):
     valid = rows < n
     np.add.at(a, (rows[valid], cols[valid]), 1.0)
     np.testing.assert_allclose(np.asarray(out), a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_rowmask_bf16(graph, rng):
+    n = graph.num_nodes
+    w = rng.random((graph.capacity, 1)).astype(np.float32)
+    x = rng.standard_normal((n, 128)).astype(np.float32)
+    out32, _ = NSP.spmm_rowmask(graph, jnp.asarray(w), jnp.asarray(x), interpret=True)
+    out16, _ = NSP.spmm_rowmask(
+        graph, jnp.asarray(w), jnp.asarray(x, jnp.bfloat16), interpret=True
+    )
+    # bf16 stream: ~0.5% relative tolerance vs the f32 path
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), rtol=2e-2, atol=2e-1
+    )
