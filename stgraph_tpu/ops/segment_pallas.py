@@ -588,61 +588,100 @@ def spmm_rowmask(
     # Row padding rides the gather indices (an explicit pad would copy
     # the whole (E, F) plane — gigabytes at scale).
     cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
-    gathered = node_feats.astype(feat_dtype)[cols_pad]
-    if f_pad != f_flat:
-        gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(meta.num_blocks, f_pad // 128),
-        in_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
-            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=(
-            pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
-            pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
-            pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype),
-            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
-            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out, den = pl.pallas_call(
-        functools.partial(
-            _spmm_rowmask_kernel,
-            k_pad=k_pad,
-            feats_per_head=f if heads > 1 else 128,
-            single_head=heads == 1,
-            with_denom=with_denom,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((meta.num_rows_padded, f_pad), jnp.float32),
-            jax.ShapeDtypeStruct((meta.num_rows_padded, 128), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * meta.cap_pad * f_pad,
-            bytes_accessed=meta.cap_pad * 4 * (f_pad + k_pad)
-            + meta.num_rows_padded * f_pad * 4,
-            transcendentals=0,
-        ),
-    )(
-        meta.astart,
-        meta.nchunks,
-        meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1),
-        meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1),
-        wt,
-        gathered,
-    )
+    def call_segment(b0, b1, lo, hi):
+        """Run the kernel over row blocks [b0, b1) whose chunk reads cover
+        CSR positions [lo, hi) — the gathered-feature plane for one segment
+        stays under ``_SEGMENT_BYTES`` regardless of graph size."""
+        nb_seg = b1 - b0
+        gathered = node_feats.astype(feat_dtype)[cols_pad[lo:hi]]
+        if f_pad != f_flat:
+            gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb_seg, f_pad // 128),
+            in_specs=[
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
+                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
+                pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype),
+                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _spmm_rowmask_kernel,
+                k_pad=k_pad,
+                feats_per_head=f if heads > 1 else 128,
+                single_head=heads == 1,
+                with_denom=with_denom,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, f_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, 128), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * (hi - lo) * f_pad,
+                bytes_accessed=(hi - lo) * 4 * (f_pad + k_pad)
+                + nb_seg * ROW_BLOCK * f_pad * 4,
+                transcendentals=0,
+            ),
+        )(
+            meta.astart[b0:b1] - np.int32(lo),
+            meta.nchunks[b0:b1],
+            meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)[b0:b1],
+            meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)[b0:b1],
+            wt[:, lo:hi],
+            gathered,
+        )
+
+    segs = _rowmask_segments(meta, f_pad, jnp.dtype(feat_dtype).itemsize)
+    if len(segs) == 1:
+        out, den = call_segment(*segs[0])
+    else:
+        outs, dens = zip(*(call_segment(*s) for s in segs))
+        out = jnp.concatenate(outs, axis=0)
+        den = jnp.concatenate(dens, axis=0)
     out = out[:n, :f_flat]
     if with_denom:
         return out, den[:n, :heads]
     return out, None
+
+
+def _rowmask_segments(meta: RowBlockMeta, f_pad: int, itemsize: int):
+    """Partition row blocks into (b0, b1, lo, hi) segments whose gathered
+    feature plane fits ``_SEGMENT_BYTES``. lo/hi are 128-aligned CSR
+    positions (astart and chunk ends are 128-aligned by construction)."""
+    astart = meta.astart.astype(np.int64)
+    ends = astart + meta.nchunks.astype(np.int64) * EDGE_CHUNK
+    nb = meta.num_blocks
+    budget = max(_SEGMENT_BYTES // max(f_pad * itemsize, 1), EDGE_CHUNK)
+    segs = []
+    b0 = 0
+    while b0 < nb:
+        lo = int(astart[b0])
+        hi = int(ends[b0])
+        b1 = b0 + 1
+        while b1 < nb and max(hi, int(ends[b1])) - lo <= budget:
+            hi = max(hi, int(ends[b1]))
+            b1 += 1
+        hi = min(max(hi, lo + EDGE_CHUNK), meta.cap_pad)
+        lo = min(lo, hi - EDGE_CHUNK)  # keep >= one chunk in range
+        segs.append((b0, b1, lo, hi))
+        b0 = b1
+    if not segs:
+        segs.append((0, 0, 0, EDGE_CHUNK))
+    return segs

@@ -170,3 +170,24 @@ def test_spmm_rowmask_bf16(graph, rng):
     np.testing.assert_allclose(
         np.asarray(out16, np.float32), np.asarray(out32), rtol=2e-2, atol=2e-1
     )
+
+
+def test_spmm_rowmask_segmented(rng, monkeypatch):
+    """Forcing a tiny segment budget must not change results."""
+    n, e = 1000, 30_000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    csr = build_csr(src, dst, n)
+    w = rng.random((csr.capacity, 1)).astype(np.float32)
+    x = rng.standard_normal((n, 128)).astype(np.float32)
+    ref, ref_den = NSP.spmm_rowmask(
+        csr, jnp.asarray(w), jnp.asarray(x), with_denom=True, interpret=True
+    )
+    monkeypatch.setattr(NSP, "_SEGMENT_BYTES", 64 * 1024)
+    meta = NSP.row_block_meta(csr)
+    assert len(NSP._rowmask_segments(meta, 128, 4)) > 1
+    out, den = NSP.spmm_rowmask(
+        csr, jnp.asarray(w), jnp.asarray(x), with_denom=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den), np.asarray(ref_den), rtol=1e-5, atol=1e-5)
