@@ -23,6 +23,11 @@ from stgraph_tpu.ops.segment import (
     segment_softmax,
     segment_sum,
 )
+from stgraph_tpu.ops.segment_pallas import (
+    segment_max_narrow,
+    segment_sum_narrow,
+    spmm_rowmask,
+)
 
 __all__ = [
     "aggregate",
@@ -33,9 +38,12 @@ __all__ = [
     "gather_src",
     "sddmm",
     "segment_max",
+    "segment_max_narrow",
     "segment_mean",
     "segment_min",
     "segment_softmax",
     "segment_sum",
+    "segment_sum_narrow",
     "spmm",
+    "spmm_rowmask",
 ]

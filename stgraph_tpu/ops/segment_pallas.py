@@ -578,23 +578,45 @@ def spmm_rowmask(
     )
     _, rows_np, cols_np, _ = csr.host_arrays()
     cols_c = np.minimum(cols_np, n - 1)
-    emask = (rows_np < n).astype(np.float32)
 
+    # No edge-mask multiply: the positional row ranges [bs, be) never cover
+    # padding positions (be <= indptr[n]), so garbage weights there are
+    # unreachable — and the (E,) mask constant would add tens of MB to the
+    # lowered module at scale.
     wt = jnp.pad(
-        w.reshape(cap, heads).astype(jnp.float32) * emask[:, None],
+        w.reshape(cap, heads).astype(jnp.float32),
         ((0, meta.cap_pad - cap), (0, k_pad - heads)),
     ).T  # (K_pad, CAP_pad)
 
     # Row padding rides the gather indices (an explicit pad would copy
-    # the whole (E, F) plane — gigabytes at scale).
-    cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
+    # the whole (E, F) plane — gigabytes at scale). One shared constant,
+    # sliced in-program per segment: per-segment numpy slices would each
+    # embed into the lowered module and blow past remote-compile size
+    # limits at ogbn scale.
+    cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
+
+    bs3 = meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)
+    be3 = meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)
+
+    def _meta_slice(b0, nb_seg, lo):
+        """Numpy meta arrays for blocks [b0, b0+nb_seg), padded with empty
+        blocks past the end, chunk starts re-based to ``lo``."""
+        b1 = min(b0 + nb_seg, meta.num_blocks)
+        pad = nb_seg - (b1 - b0)
+        astart = np.pad(meta.astart[b0:b1] - np.int32(lo), (0, pad))
+        nchunks = np.pad(meta.nchunks[b0:b1], (0, pad))
+        bs_s = np.pad(bs3[b0:b1], ((0, pad), (0, 0), (0, 0)))
+        be_s = np.pad(be3[b0:b1], ((0, pad), (0, 0), (0, 0)))
+        return astart, nchunks, bs_s, be_s
 
     def call_segment(b0, b1, lo, hi):
         """Run the kernel over row blocks [b0, b1) whose chunk reads cover
         CSR positions [lo, hi) — the gathered-feature plane for one segment
         stays under ``_SEGMENT_BYTES`` regardless of graph size."""
         nb_seg = b1 - b0
-        gathered = node_feats.astype(feat_dtype)[cols_pad[lo:hi]]
+        astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo)
+        seg_cols = jax.lax.slice(cols_pad, (lo,), (hi,))
+        gathered = node_feats.astype(feat_dtype)[seg_cols]
         if f_pad != f_flat:
             gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -640,10 +662,10 @@ def spmm_rowmask(
                 transcendentals=0,
             ),
         )(
-            meta.astart[b0:b1] - np.int32(lo),
-            meta.nchunks[b0:b1],
-            meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)[b0:b1],
-            meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)[b0:b1],
+            astart_s,
+            nchunks_s,
+            bs_s,
+            be_s,
             wt[:, lo:hi],
             gathered,
         )
@@ -651,10 +673,25 @@ def spmm_rowmask(
     segs = _rowmask_segments(meta, f_pad, jnp.dtype(feat_dtype).itemsize)
     if len(segs) == 1:
         out, den = call_segment(*segs[0])
-    else:
-        outs, dens = zip(*(call_segment(*s) for s in segs))
-        out = jnp.concatenate(outs, axis=0)
-        den = jnp.concatenate(dens, axis=0)
+        out = out[:n, :f_flat]
+        if with_denom:
+            return out, den[:n, :heads]
+        return out, None
+
+    # Multi-segment: all segments share ONE (nb_seg, span) shape so the
+    # Mosaic kernel compiles once and is reused — per-segment shapes would
+    # pay a full remote kernel compile each (minutes apiece at ogbn scale).
+    nb_u = max(b1 - b0 for b0, b1, _, _ in segs)
+    span_u = max(hi - lo for _, _, lo, hi in segs)
+    outs, dens = [], []
+    for b0, b1, lo, hi in segs:
+        lo_u = min(lo, max(meta.cap_pad - span_u, 0))
+        out_s, den_s = call_segment(b0, b0 + nb_u, lo_u, lo_u + span_u)
+        rows = (b1 - b0) * ROW_BLOCK
+        outs.append(out_s[:rows])
+        dens.append(den_s[:rows])
+    out = jnp.concatenate(outs, axis=0)
+    den = jnp.concatenate(dens, axis=0)
     out = out[:n, :f_flat]
     if with_denom:
         return out, den[:n, :heads]
