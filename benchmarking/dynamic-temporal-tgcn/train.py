@@ -121,7 +121,7 @@ def main() -> None:
     if args.type == "naive":
         G = NaiveGraph(edge_lists, weight_lists)
     else:
-        G = DeltaGraph(edge_lists)
+        G = DeltaGraph(edge_lists, weight_lists)
     build_time = time.perf_counter() - t0
     n = G.get_num_nodes()
     t_total = len(d.get_all_features())
@@ -136,6 +136,9 @@ def main() -> None:
         staged_add, staged_del = G.staged_deltas()
         staged_add = staged_add[lags : lags + t_total]
         staged_del = staged_del[lags : lags + t_total]
+        staged_add_w = G.staged_add_weights()
+        if staged_add_w is not None:
+            staged_add_w = staged_add_w[lags : lags + t_total]
         init_store = G.snapshot_store(lags - 1)
         stacked = None
         weights = None
@@ -148,9 +151,10 @@ def main() -> None:
         # Align snapshot t+lags with feature window t (reference uses graphs
         # starting at lag offset).
         stacked = jax.tree_util.tree_map(lambda x: x[lags : lags + t_total], stacked)
-        weights = None
-        if args.type == "naive":
-            weights = G.stacked_weights()[lags : lags + t_total]
+        # Both naive and delta paths carry per-snapshot CSR-order weights.
+        weights = G.stacked_weights()
+        if weights is not None:
+            weights = weights[lags : lags + t_total]
 
     # Positive edges per snapshot for the link-prediction loss: reuse the
     # stacked CSR's own (padded) edges; negatives are uniform random.
@@ -198,30 +202,43 @@ def main() -> None:
                     edge_store_to_csr,
                 )
 
+                weighted = staged_add_w is not None
+
                 def body(carry, xs):
-                    hidden, key, rows, cols, ne = carry
-                    add, dele, x_t = xs
+                    hidden, key, rows, cols, ws, ne = carry
+                    add, dele, add_w, x_t = xs
                     store = apply_delta(
-                        EdgeStore(rows, cols, ne, n),
+                        EdgeStore(rows, cols, ne, n, ws),
                         add[:, 1], add[:, 0],  # row = dst
                         dele[:, 1], dele[:, 0],
+                        add_weights=add_w,
                     )
                     csr_t = edge_store_to_csr(store)
+                    w_t = (
+                        store.weights.reshape(-1, 1) if weighted else None
+                    )
                     hidden, key, loss = step_loss(
-                        params, hidden, key, csr_t, x_t, None
+                        params, hidden, key, csr_t, x_t, w_t
                     )
                     return (
-                        hidden, key, store.rows, store.cols, store.num_edges
+                        hidden, key, store.rows, store.cols,
+                        store.weights, store.num_edges,
                     ), loss
 
+                init_w = (
+                    jnp.asarray(init_store.weights)
+                    if weighted
+                    else None
+                )
                 init = (
                     jnp.zeros((n, args.num_hidden)),
                     key,
                     jnp.asarray(init_store.rows),
                     jnp.asarray(init_store.cols),
+                    init_w,
                     jnp.asarray(init_store.num_edges),
                 )
-                xs = (staged_add, staged_del, feats)
+                xs = (staged_add, staged_del, staged_add_w, feats)
             else:
                 def body(carry, xs):
                     hidden, key = carry

@@ -10,12 +10,23 @@ without leaving the device.
 On TPU the same capability is expressed functionally with XLA-friendly
 primitives — no pointer chasing, no data-dependent shapes:
 
-  * the edge store is a pair of int32 arrays (rows, cols) of static capacity,
-    kept sorted by (row, col), padding at the end (sentinel row == n);
-  * ``apply_delta(state, add, delete)`` concatenates staged additions and
-    deletion *tombstones*, re-sorts (two stable argsorts — the int32-safe
-    lexicographic sort), cancels edge/tombstone pairs with one shifted
-    compare, and compacts padding to the tail with a final sort;
+  * the edge store is (rows, cols, weights) arrays of static capacity, kept
+    sorted by (row, col), padding at the end (sentinel row == n);
+  * ``apply_delta(state, ...)`` **merges** the sorted store with the sorted
+    delta batch — a small sort over the delta only, then binary-search merge
+    positions, a shifted-compare cancellation of edge/tombstone pairs, and a
+    rank-select compaction. Everything is gathers + cumsum: no
+    capacity-wide sort and no scatter, so per-timestep cost is
+    O(cap + delta·log cap) data movement instead of O(cap·log² cap) sorting
+    networks — the PCSR/GPMA O(updates) property, idiomatically;
+  * per-edge **weights ride the store**: the reference relabels eids each
+    timestamp so per-snapshot edge data stays addressable
+    (``pcsr.cu:748`` / ``gpma.cu:1121-1163`` ``label_edges``); here the
+    store IS sorted (dst, src) order — identical to CSR edge order — so a
+    snapshot's CSR-order weights are simply ``store.weights``. A weight
+    change on a persisting edge is expressed as delete+add of the same key
+    in one batch (the merge keeps per-key order store → tombstone → add, so
+    the re-add survives with the new weight);
   * ``indptr`` is rebuilt with a segment-count + cumsum — the same
     count-sort the reference uses to transpose (``gpma.cu:1165-1231``).
 
@@ -40,18 +51,58 @@ __all__ = ["DeltaGraph", "EdgeStore", "apply_delta", "edge_store_to_csr"]
 
 
 class EdgeStore(NamedTuple):
-    """Sorted, padded device edge store. ``rows[i] == num_nodes`` marks padding."""
+    """Sorted, padded device edge store. ``rows[i] == num_nodes`` marks padding.
+
+    ``weights`` is optional (None for unweighted graphs); when present it is
+    a (capacity,) f32 array aligned with rows/cols — i.e. already in CSR
+    edge order (the store is sorted by (row, col)).
+    """
 
     rows: jnp.ndarray  # (capacity,) int32, sorted by (row, col)
     cols: jnp.ndarray  # (capacity,) int32
     num_edges: jnp.ndarray  # () int32
     num_nodes: int  # static
+    weights: Optional[jnp.ndarray] = None  # (capacity,) f32 or None
 
 
-def _lexsort_rc(rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
-    """Stable argsort by (row, col) using two passes (int32-overflow safe)."""
-    o1 = jnp.argsort(cols, stable=True)
-    return o1[jnp.argsort(rows[o1], stable=True)]
+def _searchsorted_rc(
+    ar: jnp.ndarray,
+    ac: jnp.ndarray,
+    qr: jnp.ndarray,
+    qc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Right-bisect positions of (qr, qc) keys in the (ar, ac)-sorted store.
+
+    Compound lexicographic keys can't be packed into int32 (n > 46k
+    overflows) and int64 needs x64 mode, so this is a hand-rolled vectorized
+    binary search: ``ceil(log2(len))`` passes of gathers.
+    """
+    length = ar.shape[0]
+    steps = max(int(length).bit_length(), 1)
+    lo = jnp.zeros(qr.shape, jnp.int32)
+    hi = jnp.full(qr.shape, length, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) // 2
+        midc = jnp.minimum(mid, length - 1)
+        mr = ar[midc]
+        mc = ac[midc]
+        le = (mr < qr) | ((mr == qr) & (mc <= qc))  # store key <= query
+        lo = jnp.where(active & le, mid + 1, lo)
+        hi = jnp.where(active & ~le, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    return lo
+
+
+def _lexsort_rck(rows, cols, kind):
+    """Stable argsort by (row, col, kind) — three small stable passes."""
+    o = jnp.argsort(kind, stable=True)
+    o = o[jnp.argsort(cols[o], stable=True)]
+    return o[jnp.argsort(rows[o], stable=True)]
 
 
 def apply_delta(
@@ -60,13 +111,20 @@ def apply_delta(
     add_cols: jnp.ndarray,
     del_rows: jnp.ndarray,
     del_cols: jnp.ndarray,
+    add_weights: Optional[jnp.ndarray] = None,
 ) -> EdgeStore:
     """Apply a batch of edge additions and deletions on device.
 
     ``add_*``/``del_*`` are padded with sentinel ``num_nodes``; their real
     lengths are implied by the sentinels. Deletions must name existing
-    edges; additions must be new (same contract as the reference's
-    ``edge_update_t``, ``gpma.cu:1064``).
+    edges; additions must be new **or** paired with a same-key deletion in
+    the same batch (a weight update) — same contract as the reference's
+    ``edge_update_t`` (``gpma.cu:1064``).
+
+    Cost: one sort over the delta batch (small), binary-search merge
+    positions, and two rank-select passes over capacity — **no
+    capacity-wide sort** (the previous implementation's three full argsorts
+    made every timestep O(cap·log² cap) on TPU's bitonic networks).
 
     Deliberately not ``@jax.jit``-decorated: jit would turn the static
     ``num_nodes`` into a traced output, breaking CSR materialization
@@ -74,39 +132,80 @@ def apply_delta(
     body — see ``benchmarking/dynamic-temporal-tgcn --type delta-scan``).
     """
     n = store.num_nodes
-    # Tag: 0 = existing/added edge, 1 = tombstone. After a stable sort by
-    # (row, col) an edge and its tombstone land adjacent with the tombstone
-    # second (tombstones are concatenated after real edges).
-    rows = jnp.concatenate([store.rows, add_rows, del_rows])
-    cols = jnp.concatenate([store.cols, add_cols, del_cols])
-    tomb = jnp.concatenate(
-        [
-            jnp.zeros(store.rows.shape[0] + add_rows.shape[0], jnp.bool_),
-            jnp.ones(del_rows.shape[0], jnp.bool_),
-        ]
+    cap = store.rows.shape[0]
+    dd = del_rows.shape[0]
+    da = add_rows.shape[0]
+    d = dd + da
+    weighted = store.weights is not None
+
+    # Delta batch, deletions first (kind 0) so a same-key (store, del, add)
+    # triple keeps that relative order after the stable sort: the tombstone
+    # cancels the store entry and the re-add survives (weight updates).
+    drows = jnp.concatenate([del_rows, add_rows]).astype(jnp.int32)
+    dcols = jnp.concatenate([del_cols, add_cols]).astype(jnp.int32)
+    dkind = jnp.concatenate(
+        [jnp.zeros((dd,), jnp.int32), jnp.ones((da,), jnp.int32)]
     )
-    order = _lexsort_rc(rows, cols)
-    rows, cols, tomb = rows[order], cols[order], tomb[order]
+    o = _lexsort_rck(drows, dcols, dkind)
+    drows, dcols, dkind = drows[o], dcols[o], dkind[o]
+    if weighted:
+        aw = (
+            jnp.ones((da,), jnp.float32)
+            if add_weights is None
+            else add_weights.reshape(-1).astype(jnp.float32)
+        )
+        dw = jnp.concatenate([jnp.zeros((dd,), jnp.float32), aw])[o]
+
+    # Merge positions: store entries precede equal-key delta entries
+    # (right-bisect), so q = p + j is the output slot of delta entry j and
+    # is strictly increasing.
+    p = _searchsorted_rc(store.rows, store.cols, drows, dcols)
+    q = p + jnp.arange(d, dtype=jnp.int32)
+
+    # Gather-only merge: slot i holds delta[t] iff q[t] == i, else
+    # store[i - t], where t = |{q < i}|.
+    i = jnp.arange(cap + d, dtype=jnp.int32)
+    t = jnp.searchsorted(q, i, side="left").astype(jnp.int32)
+    tc = jnp.minimum(t, d - 1)
+    is_delta = (t < d) & (q[tc] == i)
+    sidx = jnp.minimum(jnp.maximum(i - t, 0), cap - 1)
+    m_rows = jnp.where(is_delta, drows[tc], store.rows[sidx])
+    m_cols = jnp.where(is_delta, dcols[tc], store.cols[sidx])
+    m_tomb = is_delta & (dkind[tc] == 0)
+    if weighted:
+        m_w = jnp.where(is_delta, dw[tc], store.weights[sidx])
 
     # Cancel pairs: an edge is dead if the next slot is a tombstone with the
     # same key; the tombstone itself is always dead.
-    nxt_tomb = jnp.concatenate([tomb[1:], jnp.zeros((1,), jnp.bool_)])
+    nxt_tomb = jnp.concatenate([m_tomb[1:], jnp.zeros((1,), jnp.bool_)])
     same_key = jnp.concatenate(
-        [(rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1]), jnp.zeros((1,), jnp.bool_)]
+        [
+            (m_rows[1:] == m_rows[:-1]) & (m_cols[1:] == m_cols[:-1]),
+            jnp.zeros((1,), jnp.bool_),
+        ]
     )
-    dead = tomb | (nxt_tomb & same_key & ~tomb)
-    rows = jnp.where(dead, n, rows)
-    cols = jnp.where(dead, n, cols)
+    dead = m_tomb | (nxt_tomb & same_key & ~m_tomb)
+    alive = ~dead & (m_rows < n)
 
-    # Compact: one more lexicographic sort pushes sentinels to the tail,
-    # then truncate back to the store capacity.
-    order = _lexsort_rc(rows, cols)
-    rows, cols = rows[order], cols[order]
-    capacity = store.rows.shape[0]
-    rows, cols = rows[:capacity], cols[:capacity]
-
-    num_edges = jnp.sum((rows < n).astype(jnp.int32))
-    return EdgeStore(rows=rows, cols=cols, num_edges=num_edges, num_nodes=n)
+    # Rank-select compaction (gather-only): out[j] = the (j+1)-th alive
+    # entry; slots past the alive count revert to sentinels.
+    cum = jnp.cumsum(alive.astype(jnp.int32))
+    total = cum[-1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    sel = jnp.searchsorted(cum, j + 1, side="left").astype(jnp.int32)
+    selc = jnp.minimum(sel, cap + d - 1)
+    valid = j < total
+    rows = jnp.where(valid, m_rows[selc], n)
+    cols = jnp.where(valid, m_cols[selc], n)
+    if weighted:
+        w = jnp.where(valid, m_w[selc], 0.0)
+    return EdgeStore(
+        rows=rows,
+        cols=cols,
+        num_edges=total,
+        num_nodes=n,
+        weights=w if weighted else None,
+    )
 
 
 def _apply_delta_np(
@@ -115,35 +214,62 @@ def _apply_delta_np(
     add_cols: np.ndarray,
     del_rows: np.ndarray,
     del_cols: np.ndarray,
+    add_weights: Optional[np.ndarray] = None,
 ) -> EdgeStore:
-    """Numpy mirror of ``apply_delta`` (same semantics, host execution)."""
+    """Numpy mirror of ``apply_delta`` (same semantics, host execution).
+
+    Uses one stable int64-key argsort (host numpy has int64; the device path
+    avoids it because jnp defaults to 32-bit mode).
+    """
     n = store.num_nodes
-    rows = np.concatenate([np.asarray(store.rows), add_rows, del_rows])
-    cols = np.concatenate([np.asarray(store.cols), add_cols, del_cols])
+    weighted = store.weights is not None
+    rows = np.concatenate([np.asarray(store.rows), del_rows, add_rows])
+    cols = np.concatenate([np.asarray(store.cols), del_cols, add_cols])
     tomb = np.concatenate(
         [
-            np.zeros(len(store.rows) + len(add_rows), bool),
+            np.zeros(len(store.rows), bool),
             np.ones(len(del_rows), bool),
+            np.zeros(len(add_rows), bool),
         ]
     )
-    order = np.lexsort((tomb, cols, rows))  # stable; tombstones after edges
+    if weighted:
+        aw = (
+            np.ones(len(add_rows), np.float32)
+            if add_weights is None
+            else np.asarray(add_weights, np.float32).reshape(-1)
+        )
+        w = np.concatenate(
+            [np.asarray(store.weights), np.zeros(len(del_rows), np.float32), aw]
+        )
+    keys = rows.astype(np.int64) << 32 | cols.astype(np.int64)
+    order = np.argsort(keys, kind="stable")  # store, del, add per key
     rows, cols, tomb = rows[order], cols[order], tomb[order]
+    if weighted:
+        w = w[order]
     nxt_tomb = np.concatenate([tomb[1:], [False]])
     same_key = np.concatenate(
         [(rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1]), [False]]
     )
     dead = tomb | (nxt_tomb & same_key & ~tomb)
-    rows = np.where(dead, n, rows).astype(np.int32)
-    cols = np.where(dead, n, cols).astype(np.int32)
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
+    alive = ~dead & (rows < n)
     capacity = len(store.rows)
-    rows, cols = rows[:capacity], cols[:capacity]
+    a_rows = rows[alive]
+    a_cols = cols[alive]
+    out_rows = np.full(capacity, n, np.int32)
+    out_cols = np.full(capacity, n, np.int32)
+    e = min(len(a_rows), capacity)
+    out_rows[:e] = a_rows[:e]
+    out_cols[:e] = a_cols[:e]
+    out_w = None
+    if weighted:
+        out_w = np.zeros(capacity, np.float32)
+        out_w[:e] = w[alive][:e]
     return EdgeStore(
-        rows=rows,
-        cols=cols,
-        num_edges=np.int32(np.sum(rows < n)),
+        rows=out_rows,
+        cols=out_cols,
+        num_edges=np.int32(e),
         num_nodes=n,
+        weights=out_w,
     )
 
 
@@ -152,7 +278,9 @@ def edge_store_to_csr(store: EdgeStore) -> CSR:
 
     The relabelling matches the reference's ``label_edges``
     (``gpma.cu:1121-1163``): edge ids are positional in sorted order, so
-    per-snapshot edge data is indexed by sorted position.
+    per-snapshot edge data is indexed by sorted position — and because the
+    store is (row, col)-sorted, ``store.weights`` IS the CSR-order weight
+    array for the snapshot.
     """
     # num_nodes rides through jitted apply_delta as an array leaf; CSR
     # requires it static. Materialization happens eagerly, so concretize.
@@ -210,16 +338,25 @@ class DeltaGraph(DynamicGraph):
     on first access, like the reference PCSR wrapper's per-timestamp
     deepcopy cache (``pcsr_graph.py:77-96``) — but immutable, so forward and
     backward share them.
+
+    ``edge_weight_lists`` (per-timestamp, aligned with ``edge_lists``)
+    makes the store weighted: weight changes on persisting edges become
+    delete+add pairs in the staged deltas, so every snapshot carries its
+    own CSR-order weights — the capability the reference implements by
+    relabelling eids per timestamp (``pcsr.cu:748``, ``gpma.cu:1121-1163``).
     """
 
     def __init__(
         self,
         edge_lists: Sequence[Sequence[Tuple[int, int]]],
+        edge_weight_lists: Optional[Sequence[Sequence[float]]] = None,
         capacity: Optional[int] = None,
         pad_multiple: int = 8,
     ) -> None:
-        super().__init__(edge_lists)
+        super().__init__(edge_lists, edge_weight_lists)
         n = self._num_nodes
+        weighted = edge_weight_lists is not None
+        self._weighted = weighted
         if capacity is None:
             capacity = round_up(max(self.max_num_edges, 1), pad_multiple)
         self._capacity = capacity
@@ -240,6 +377,13 @@ class DeltaGraph(DynamicGraph):
         self._staged_del = jnp.asarray(
             np.stack([_pad(d["delete"], max_del) for d in self._deltas])
         )
+        if weighted:
+            aw = np.zeros((self._num_timestamps, max_add), np.float32)
+            for t, dlt in enumerate(self._deltas):
+                aw[t, : len(dlt["add_w"])] = dlt["add_w"]
+            self._staged_add_w = jnp.asarray(aw)
+        else:
+            self._staged_add_w = None
 
         # Snapshot materialization runs the SAME delta-replay algorithm in
         # numpy on host: snapshot CSRs become closed-over constants of
@@ -248,14 +392,12 @@ class DeltaGraph(DynamicGraph):
         # The jittable device path (``apply_delta``) remains the API for
         # fusing structure updates into compiled steps.
         self._snapshots: List[EdgeStore] = []
-        state = EdgeStore(
-            rows=np.full((capacity,), n, np.int32),
-            cols=np.full((capacity,), n, np.int32),
-            num_edges=np.int32(0),
-            num_nodes=n,
-        )
+        state = self.snapshot_store(-1)
         staged_add = np.asarray(self._staged_add)
         staged_del = np.asarray(self._staged_del)
+        staged_add_w = (
+            np.asarray(self._staged_add_w) if weighted else None
+        )
         for t in range(self._num_timestamps):
             state = _apply_delta_np(
                 state,
@@ -263,6 +405,7 @@ class DeltaGraph(DynamicGraph):
                 staged_add[t, :, 0],  # col = src
                 staged_del[t, :, 1],
                 staged_del[t, :, 0],
+                add_weights=None if not weighted else staged_add_w[t],
             )
             self._snapshots.append(state)
         self._csr_cache: Dict[int, CSR] = {}
@@ -288,10 +431,29 @@ class DeltaGraph(DynamicGraph):
                 self._bwd_cache[timestamp] = self.get_graph(timestamp).transpose()
         return self._bwd_cache[timestamp]
 
+    def get_edge_weights(self, timestamp: int) -> Optional[np.ndarray]:
+        """Snapshot weights in CSR edge order (= store order), or None.
+
+        The snapshot CSR's eids are positional (identity), so these weights
+        satisfy BOTH the direct-kernel (CSR order) and the nn-layer e_feats
+        (user order, permuted via eids) contracts.
+        """
+        if not self._weighted:
+            return None
+        return self._snapshots[timestamp].weights.reshape(-1, 1)
+
     def stacked(self) -> CSR:
         """All snapshots as one CSR pytree with a leading (T,) axis."""
         csrs = [self.get_graph(t) for t in range(self._num_timestamps)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *csrs)
+
+    def stacked_weights(self) -> Optional[jnp.ndarray]:
+        """(T, capacity, 1) CSR-order snapshot weights, or None."""
+        if not self._weighted:
+            return None
+        return jnp.asarray(
+            np.stack([s.weights.reshape(-1, 1) for s in self._snapshots])
+        )
 
     def staged_deltas(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-staged deltas: ((T, A, 2) additions, (T, D, 2) deletions).
@@ -303,6 +465,10 @@ class DeltaGraph(DynamicGraph):
         XLA program.
         """
         return self._staged_add, self._staged_del
+
+    def staged_add_weights(self) -> Optional[jnp.ndarray]:
+        """(T, A) f32 weights of the staged additions, or None."""
+        return self._staged_add_w
 
     def snapshot_store(self, timestamp: int) -> EdgeStore:
         """The (host numpy) edge store after replaying deltas 0..timestamp.
@@ -317,5 +483,10 @@ class DeltaGraph(DynamicGraph):
                 cols=np.full((self._capacity,), n, np.int32),
                 num_edges=np.int32(0),
                 num_nodes=n,
+                weights=(
+                    np.zeros((self._capacity,), np.float32)
+                    if self._weighted
+                    else None
+                ),
             )
         return self._snapshots[timestamp]

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import time
 from abc import abstractmethod
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -39,6 +39,7 @@ __all__ = ["DynamicGraph", "preprocess_deltas"]
 
 def preprocess_deltas(
     edge_lists: Sequence[Sequence[Tuple[int, int]]],
+    edge_weight_lists: Optional[Sequence[Sequence[float]]] = None,
 ) -> List[Dict[str, np.ndarray]]:
     """Convert per-timestamp edge lists to per-timestamp add/delete deltas.
 
@@ -47,23 +48,53 @@ def preprocess_deltas(
     ``t`` but not ``t-1``; ``delta[t]['delete']`` the reverse. ``delta[0]``
     adds the whole initial edge set.
 
+    With ``edge_weight_lists``, an edge whose weight *changes* between
+    timestamps appears in both lists (delete of the old, add of the new) —
+    the functional equivalent of the reference relabelling per-timestamp
+    edge data (``pcsr.cu:748``). ``delta[t]['add_w']`` carries the added
+    edges' weights.
+
     Implementation detail: edges are packed into int64 keys ``dst<<32 | src``
     (the same packing GPMA stores device-side, ``gpma.cu:58-108``) so each
     step's diff is two sorted-array set differences in C, not Python sets.
     """
+    weighted = edge_weight_lists is not None
     deltas: List[Dict[str, np.ndarray]] = []
     prev = np.empty(0, dtype=np.int64)
-    for edges in edge_lists:
+    prev_w = np.empty(0, dtype=np.float32)
+    for t, edges in enumerate(edge_lists):
         e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
-        keys = np.unique((e[:, 1] << 32) | e[:, 0])  # sorted by (dst, src)
-        add = np.setdiff1d(keys, prev, assume_unique=True)
-        delete = np.setdiff1d(prev, keys, assume_unique=True)
-        deltas.append(
-            {
-                "add": _unpack(add),
-                "delete": _unpack(delete),
-            }
-        )
+        raw_keys = (e[:, 1] << 32) | e[:, 0]  # (dst, src) packing
+        keys, first = np.unique(raw_keys, return_index=True)
+        if weighted:
+            w = np.asarray(edge_weight_lists[t], np.float32).reshape(-1)[first]
+        if not weighted:
+            add = np.setdiff1d(keys, prev, assume_unique=True)
+            delete = np.setdiff1d(prev, keys, assume_unique=True)
+            deltas.append({"add": _unpack(add), "delete": _unpack(delete)})
+        else:
+            # keys/prev sorted unique: align with searchsorted, flag weight
+            # changes on the intersection as delete+add pairs.
+            idx = np.searchsorted(prev, keys)
+            idxc = np.minimum(idx, max(len(prev) - 1, 0))
+            in_prev = (len(prev) > 0) & (idx < len(prev))
+            in_prev = in_prev & (prev[idxc] == keys) if len(prev) else np.zeros(len(keys), bool)
+            changed = in_prev & (prev_w[idxc] != w) if len(prev) else np.zeros(len(keys), bool)
+            add_mask = ~in_prev | changed
+            jdx = np.searchsorted(keys, prev)
+            jdxc = np.minimum(jdx, max(len(keys) - 1, 0))
+            in_cur = (len(keys) > 0) & (jdx < len(keys))
+            in_cur = in_cur & (keys[jdxc] == prev) if len(keys) else np.zeros(len(prev), bool)
+            changed2 = in_cur & (w[jdxc] != prev_w) if len(keys) else np.zeros(len(prev), bool)
+            del_mask = ~in_cur | changed2
+            deltas.append(
+                {
+                    "add": _unpack(keys[add_mask]),
+                    "add_w": w[add_mask],
+                    "delete": _unpack(prev[del_mask]),
+                }
+            )
+            prev_w = w
         prev = keys
     return deltas
 
@@ -85,7 +116,11 @@ class DynamicGraph(STGraphBase):
     pytrees rather than mutating shared device state.
     """
 
-    def __init__(self, edge_lists: Sequence[Sequence[Tuple[int, int]]]) -> None:
+    def __init__(
+        self,
+        edge_lists: Sequence[Sequence[Tuple[int, int]]],
+        edge_weight_lists: Optional[Sequence[Sequence[float]]] = None,
+    ) -> None:
         super().__init__()
         self._edge_lists = [np.asarray(e, dtype=np.int64).reshape(-1, 2) for e in edge_lists]
         self._num_timestamps = len(self._edge_lists)
@@ -94,7 +129,7 @@ class DynamicGraph(STGraphBase):
             if len(e):
                 nodes = max(nodes, int(e.max()) + 1)
         self._num_nodes = nodes
-        self._deltas = preprocess_deltas(edge_lists)
+        self._deltas = preprocess_deltas(edge_lists, edge_weight_lists)
         self.max_num_edges = max((len(e) for e in self._edge_lists), default=0)
         # Perf counters, matching the reference's
         # get_fwd_graph_time/get_bwd_graph_time/move_to_gpu_time surface.

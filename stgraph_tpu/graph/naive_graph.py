@@ -46,10 +46,12 @@ class NaiveGraph(DynamicGraph):
             if self._weights is not None:
                 w = np.asarray(edge_weight_lists[t], dtype=np.float32).reshape(-1)
                 wp = np.zeros(capacity, dtype=np.float32)
-                # Permute user-order weights into CSR edge order (w[eids]),
-                # padding with zeros — the multiplicative identity is applied
-                # lazily via edge masks in the ops layer.
-                wp[: len(w)] = w[np.asarray(csr.eids)[: len(w)]]
+                # USER edge order (the dataset's per-timestamp alignment),
+                # zero-padded: consumers permute into CSR order via eids
+                # (``ops.message.edge_data_to_csr_order`` — the nn layers'
+                # e_feats contract), and padding slots are masked out by the
+                # aggregation's edge mask.
+                wp[: len(w)] = w
                 self._weights.append(wp.reshape(-1, 1))
 
     # -- per-timestamp access (reference API) -----------------------------
@@ -60,7 +62,8 @@ class NaiveGraph(DynamicGraph):
         return self._bwd[timestamp]
 
     def get_edge_weights(self, timestamp: int) -> Optional[np.ndarray]:
-        """Edge weights at ``timestamp``, already permuted into CSR order."""
+        """(capacity, 1) edge weights at ``timestamp``, in USER edge order
+        (permute with ``edge_data_to_csr_order`` for direct kernel use)."""
         if self._weights is None:
             return None
         return self._weights[timestamp]

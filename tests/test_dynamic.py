@@ -182,3 +182,109 @@ def test_delta_replay_inside_scan_matches_snapshots(rng):
         np.testing.assert_array_equal(np.asarray(rows_t[t]), snap.rows)
         np.testing.assert_array_equal(np.asarray(cols_t[t]), snap.cols)
         assert int(ne_t[t]) == int(snap.num_edges) == len(edge_lists[t])
+
+
+def _random_weighted_snapshots(rng, n=20, t=6, base=30, churn=8):
+    """Random evolving weighted edge dicts: adds, deletes AND weight changes."""
+    cur = {}
+    while len(cur) < base:
+        k = (int(rng.integers(0, n)), int(rng.integers(0, n)))
+        cur[k] = float(np.float32(rng.random() + 0.1))
+    snaps = [dict(cur)]
+    for _ in range(t - 1):
+        nxt = dict(cur)
+        keys = list(nxt)
+        for _ in range(churn):
+            r = rng.random()
+            if r < 0.3 and keys:
+                nxt.pop(keys[int(rng.integers(0, len(keys)))], None)
+                keys = list(nxt)
+            elif r < 0.6 and keys:
+                # weight change on a persisting edge
+                k = keys[int(rng.integers(0, len(keys)))]
+                if k in nxt:
+                    nxt[k] = float(np.float32(rng.random() + 0.1))
+            else:
+                k = (int(rng.integers(0, n)), int(rng.integers(0, n)))
+                nxt[k] = float(np.float32(rng.random() + 0.1))
+        snaps.append(nxt)
+        cur = nxt
+    edge_lists = [sorted(s) for s in snaps]
+    weight_lists = [[s[k] for k in sorted(s)] for s in snaps]
+    return edge_lists, weight_lists, snaps
+
+
+def test_weighted_delta_snapshots_match_oracle(rng):
+    """DeltaGraph snapshot (edges, weights) == per-step dict oracle,
+    including weight changes on persisting edges (VERDICT missing #1)."""
+    edge_lists, weight_lists, snaps = _random_weighted_snapshots(rng)
+    dg = DeltaGraph(edge_lists, weight_lists)
+    for t, oracle in enumerate(snaps):
+        s = dg.snapshot_store(t)
+        e = int(s.num_edges)
+        got = {
+            (int(s.cols[i]), int(s.rows[i])): float(s.weights[i])
+            for i in range(e)
+        }
+        assert got == oracle, f"t={t}"
+
+
+def test_weighted_delta_spmm_matches_naive(rng):
+    """Weighted SpMM over delta snapshots == naive snapshots (same weights)."""
+    edge_lists, weight_lists, _ = _random_weighted_snapshots(rng)
+    ng = NaiveGraph(edge_lists, weight_lists)
+    dg = DeltaGraph(edge_lists, weight_lists)
+    n = ng.get_num_nodes()
+    h = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    for t in range(len(edge_lists)):
+        nc = ng.get_graph(t)
+        # NaiveGraph weights are USER order; kernels take CSR order.
+        w_n = M.edge_data_to_csr_order(nc, jnp.asarray(ng.get_edge_weights(t)))
+        a = np.asarray(M.spmm(nc, h, w_n, impl="jnp"))
+        b = np.asarray(
+            M.spmm(dg.get_graph(t), h, dg.get_edge_weights(t), impl="jnp")
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_weighted_delta_replay_inside_scan(rng):
+    """Device apply_delta with weights carried through lax.scan reproduces
+    every host snapshot (rows, cols, weights, count)."""
+    from stgraph_tpu.graph.delta_graph import EdgeStore, apply_delta
+
+    edge_lists, weight_lists, _ = _random_weighted_snapshots(rng, t=5)
+    G = DeltaGraph(edge_lists, weight_lists)
+    n = G.get_num_nodes()
+    add, dele = G.staged_deltas()
+    add_w = G.staged_add_weights()
+    init = G.snapshot_store(-1)
+
+    @jax.jit
+    def replay(rows, cols, ws, ne):
+        def body(carry, xs):
+            r, c, w, k = carry
+            a, d, aw = xs
+            s = apply_delta(
+                EdgeStore(r, c, k, n, w),
+                a[:, 1], a[:, 0], d[:, 1], d[:, 0],
+                add_weights=aw,
+            )
+            return (s.rows, s.cols, s.weights, s.num_edges), (
+                s.rows, s.cols, s.weights, s.num_edges,
+            )
+
+        _, outs = jax.lax.scan(body, (rows, cols, ws, ne), (add, dele, add_w))
+        return outs
+
+    rows_t, cols_t, w_t, ne_t = replay(
+        jnp.asarray(init.rows),
+        jnp.asarray(init.cols),
+        jnp.asarray(init.weights),
+        jnp.asarray(init.num_edges),
+    )
+    for t in range(len(edge_lists)):
+        snap = G.snapshot_store(t)
+        np.testing.assert_array_equal(np.asarray(rows_t[t]), snap.rows)
+        np.testing.assert_array_equal(np.asarray(cols_t[t]), snap.cols)
+        np.testing.assert_array_equal(np.asarray(w_t[t]), snap.weights)
+        assert int(ne_t[t]) == int(snap.num_edges)
