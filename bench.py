@@ -21,17 +21,59 @@ import time
 import numpy as np
 
 
-def _bench(fn, *args, iters=20, warmup=3):
-    import jax
+_RTT = None
 
+
+def _drain(out):
+    """Force REAL completion with a device->host readback.
+
+    ``block_until_ready`` is not a reliable fence on this environment's
+    remote-TPU relay: it acks small programs before they execute (measured:
+    a short matmul scan "finishes" at 45,000 TFLOP/s; the same program at
+    longer lengths measures a correct ~170 TFLOP/s). Only a d2h readback
+    drains the queue. See docs/PERF.md "Timing methodology".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
+def _rtt():
+    """Measured scalar-readback round-trip (subtracted from timings)."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        _drain(f(jnp.float32(0.0)))  # first d2h pays one-time path setup
+        t0 = time.perf_counter()
+        for i in range(3):
+            _drain(f(jnp.float32(i)))
+        _RTT = (time.perf_counter() - t0) / 3
+    return _RTT
+
+
+def _bench(fn, *args, iters=20, warmup=3):
+    """Per-call seconds, drained, with iteration count auto-scaled until the
+    measured span dominates the readback RTT (sub-RTT workloads would
+    otherwise vanish into the subtraction noise)."""
+    rtt = _rtt()
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _drain(out)
+    n = iters
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _drain(out)
+        dt = time.perf_counter() - t0
+        if dt - rtt > max(5 * rtt, 0.25) or n >= 200_000:
+            return max(dt - rtt, 1e-9) / n
+        n *= 4
 
 
 def bench_gcn_fwd_bwd():
@@ -231,10 +273,10 @@ def bench_gat_layer(n=100_000, e=2_000_000, heads=8, f_in=64, f_out=32):
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
         return c
 
-    run().block_until_ready()
+    _drain(run())
     t0 = time.perf_counter()
-    run().block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    _drain(run())
+    dt = max((time.perf_counter() - t0) - _rtt(), 1e-9) / iters
     return {"gat_fwd_bwd_s": dt, "gat_edges_per_s": e / dt}
 
 

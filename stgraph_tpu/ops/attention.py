@@ -134,12 +134,21 @@ def sparse_gat_attention(
     emask = (rows_np < n).astype(np.float32)
     if csr_t is None:
         csr_t = csr.transpose()
-    # Host-side permutation: transpose-CSR edge position -> forward-CSR
-    # edge position (shared user eids), for routing per-edge values.
+    # Host-side permutations between the two edge orders (shared user eids):
+    # perm_t: transpose position -> forward position; perm_f the inverse.
     _, _, _, eids_t_np = csr_t.host_arrays()
     pos_in_fwd = np.zeros(cap + 1, np.int32)
     pos_in_fwd[np.minimum(eids_np, cap)] = np.arange(cap, dtype=np.int32)
     perm_t = pos_in_fwd[np.minimum(eids_t_np, cap)]
+    pos_in_t = np.zeros(cap + 1, np.int32)
+    pos_in_t[np.minimum(eids_t_np, cap)] = np.arange(cap, dtype=np.int32)
+    perm_f = pos_in_t[np.minimum(eids_np, cap)]
+
+    # bf16 feature/cotangent streaming through the Pallas kernels on large
+    # graphs (f32 accumulate); see spmm_pallas._BF16_STREAM_MIN_EDGES.
+    from stgraph_tpu.ops.spmm_pallas import _stream_dtype
+
+    sdt = _stream_dtype(csr, jnp.float32)
 
     slope = negative_slope
 
@@ -151,7 +160,7 @@ def sparse_gat_attention(
 
     @jax.custom_vjp
     def attn(el2, er2, fs):
-        out, _, _ = _fwd_parts(el2, er2, fs)
+        out, _, _, _ = _fwd_parts(el2, er2, fs)
         return out
 
     def _fwd_parts(el2, er2, fs):
@@ -171,7 +180,7 @@ def sparse_gat_attention(
         if use_rowmask:
             u_flat, den_k = nsp.spmm_rowmask(
                 csr, w, fs.reshape(n, h * f), heads=h,
-                with_denom=True, interpret=interpret,
+                with_denom=True, interpret=interpret, stream_dtype=sdt,
             )
             denom = jnp.maximum(den_k, jnp.finfo(jnp.float32).tiny)
             u = u_flat.reshape(n, h, f)
@@ -186,24 +195,63 @@ def sparse_gat_attention(
                 csr_t=csr_t,
             )  # (N, H, F)
         out = u / denom[:, :, None]
-        return out, m, denom
+        return out, m, denom, w
 
     def fwd(el2, er2, fs):
-        out, m, denom = _fwd_parts(el2, er2, fs)
-        return out, (el2, er2, fs, m, denom, out)
+        out, m, denom, w = _fwd_parts(el2, er2, fs)
+        # w is residual-saved: recomputing it in bwd costs two (E, H)
+        # gathers + an exp pass; the (cap, H) buffer is cheaper.
+        return out, (el2, er2, fs, m, denom, out, w)
+
+    # Transpose-CSR host constants for the transpose-order backward.
+    _, rows_t_np, cols_t_np, _ = csr_t.host_arrays()
+    rows_t_c = np.minimum(rows_t_np, n - 1)  # src ids, SORTED
+    cols_t_c = np.minimum(cols_t_np, n - 1)  # dst ids
+    emask_t = (rows_t_np < n).astype(np.float32)
 
     def bwd(res, g):
-        el2, er2, fs, m, denom, out = res
-        s0 = raw_logits(el2, er2)
-        w = jnp.exp(leaky(s0) - m[rows_c]) * emask[:, None]
+        el2, er2, fs, m, denom, out, w = res
         gu = g / denom[:, :, None]  # cotangent of the pre-division sum
-        # d feat_src: transpose aggregation with the same weights.
+        # Softmax VJP without any scatter: the normalizer's backward term
+        # is the node-wise dot c = <g, out> / denom (the peephole closed
+        # form), and d m = 0 exactly by softmax shift invariance.
+        c = jnp.sum(g * out, axis=-1) / denom  # (N, H)
         if use_rowmask:
-            dfs_flat, _ = nsp.spmm_rowmask(
-                csr_t, w[perm_t], gu.reshape(n, h * f), heads=h,
-                interpret=interpret,
+            # The ENTIRE edge-domain backward runs in TRANSPOSE order.
+            # Rationale (measured, docs/PERF.md): a narrow (E, 8)
+            # permutation gather costs ~9.7 ms at E=2M — more than the
+            # (E, 128) feature gather — so the fwd-order formulation's
+            # three permutations (w[perm_t], dw_t[perm_f], ds0[perm_t])
+            # dominate the whole backward. In transpose order: dw is
+            # native kernel output, w is recomputed from node tables
+            # (dst-indexed er/m/c ride ONE fused narrow gather; src-indexed
+            # el is a cheap sorted gather), dl aggregates directly, and
+            # only der pays the one unavoidable order crossing.
+            side = jnp.concatenate([er2, m, c], axis=1)  # (N, 3H)
+            side_t = side[cols_t_c]  # one (E, 3H) dst-indexed gather
+            er_t = side_t[:, :h]
+            m_t = side_t[:, h : 2 * h]
+            c_t = side_t[:, 2 * h :]
+            el_t = el2[rows_t_c]  # sorted (src-major) gather — cheap
+            s0_t = el_t + er_t
+            w_t = jnp.exp(leaky(s0_t) - m_t) * emask_t[:, None]
+            # d feat_src AND the per-edge SDDMM in ONE transpose-pass
+            # kernel: dw[e] = <fs[src_e], gu[dst_e]> falls out of the same
+            # pass that aggregates gu (the block's rows are the SDDMM's
+            # other operand) — the separate SDDMM's two (E, H·F) gathers
+            # disappear.
+            dfs_flat, dw_t = nsp.spmm_rowmask_bwd(
+                csr_t, w_t, gu.reshape(n, h * f),
+                fs.reshape(n, h * f), heads=h,
+                interpret=interpret, stream_dtype=sdt,
             )
             dfs = dfs_flat.reshape(n, h, f)
+            ds_t = w_t * (dw_t - c_t)
+            ds0_t = ds_t * jnp.where(s0_t >= 0, 1.0, slope)
+            dl = M.aggregate(csr_t, ds0_t, reduce="sum", blocked=blocked_t)
+            der = M.aggregate(
+                csr, ds0_t[perm_f], reduce="sum", blocked=blocked
+            )
         else:
             dfs = M.spmm(
                 csr_t,
@@ -214,21 +262,18 @@ def sparse_gat_attention(
                 blocked_t=blocked,
                 csr_t=csr,
             )
-        # Softmax VJP without any scatter: the normalizer's backward term
-        # is the node-wise dot c = <g, out> / denom (the peephole closed
-        # form), and d m = 0 exactly by softmax shift invariance.
-        # SDDMM on FLATTENED (N, H*F) tables: 3-D row gathers lower to a
-        # per-element path on TPU (measured 520 ms vs ~8 ms flattened).
-        fs2 = fs.reshape(n, h * f)
-        gu2 = gu.reshape(n, h * f)
-        dw = jnp.sum(
-            (fs2[cols_c] * gu2[rows_c]).reshape(cap, h, f), axis=-1
-        )  # (cap, H)
-        c = jnp.sum(g * out, axis=-1) / denom  # (N, H)
-        ds = w * (dw - c[rows_c])
-        ds0 = ds * jnp.where(s0 >= 0, 1.0, slope)
-        der = M.aggregate(csr, ds0, reduce="sum", blocked=blocked)
-        dl = M.aggregate(csr_t, ds0[perm_t], reduce="sum", blocked=blocked_t)
+            fs2 = fs.reshape(n, h * f)
+            gu2 = gu.reshape(n, h * f)
+            dw = jnp.sum(
+                (fs2[cols_c] * gu2[rows_c]).reshape(cap, h, f), axis=-1
+            )  # (cap, H)
+            s0 = raw_logits(el2, er2)
+            ds = w * (dw - c[rows_c])
+            ds0 = ds * jnp.where(s0 >= 0, 1.0, slope)
+            der = M.aggregate(csr, ds0, reduce="sum", blocked=blocked)
+            dl = M.aggregate(
+                csr_t, ds0[perm_t], reduce="sum", blocked=blocked_t
+            )
         return (
             dl.astype(el2.dtype),
             der.astype(er2.dtype),

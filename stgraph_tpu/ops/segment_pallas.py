@@ -32,7 +32,7 @@ stage of the generated fused kernels
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -115,7 +115,11 @@ def row_block_meta(csr: CSR) -> RowBlockMeta:
     bs[empty] = 0
     be[empty] = 0
 
-    cap_pad = int(max((astart + nchunks * EDGE_CHUNK).max(), EDGE_CHUNK))
+    # EDGE_CHUNK-aligned so whole-plane passes (e.g. the bwd kernel's dw
+    # zeroing) can walk it in full chunks.
+    cap_pad = _round_up(
+        int(max((astart + nchunks * EDGE_CHUNK).max(), EDGE_CHUNK)), EDGE_CHUNK
+    )
     meta = RowBlockMeta(
         astart=astart.astype(np.int32),
         nchunks=nchunks.astype(np.int32),
@@ -423,22 +427,30 @@ def _spmm_rowmask_kernel(
     nchunks_ref,  # (NB,)
     bs_ref,  # (1, ROW_BLOCK, 1) block
     be_ref,  # (1, ROW_BLOCK, 1) block
-    w_ref,  # (K_pad, CAP_pad) HBM — transposed CSR-order weights
-    feats_ref,  # (CAP_pad, F_pad) HBM — gathered source features, CSR order
-    out_ref,  # (ROW_BLOCK, LANES) block
-    den_ref,  # (ROW_BLOCK, LANES) block (lanes 0..K_pad hold the denominator)
-    w_scratch,  # (2, K_pad, EDGE_CHUNK)
-    feat_scratch,  # (2, EDGE_CHUNK, LANES)
-    acc_scratch,  # (ROW_BLOCK, LANES) f32
-    den_scratch,  # (ROW_BLOCK, LANES) f32
-    w_sem,
-    feat_sem,
-    *,
+    *refs,  # [w_ref], feats_ref, out_ref, [den_ref], scratches, sems
     k_pad: int,
     feats_per_head: int,
     single_head: bool,
     with_denom: bool,
+    weighted: bool,
 ):
+    # Unpack the flag-dependent ref list. Layout:
+    #   inputs:  [w_ref (K_pad, CAP_pad) if weighted], feats_ref (CAP_pad, F_pad)
+    #   outputs: out_ref (ROW_BLOCK, LANES) [, den_ref (ROW_BLOCK, LANES)]
+    #   scratch: [w_scratch], feat_scratch, acc_scratch [, den_scratch],
+    #            [w_sem], feat_sem
+    refs = list(refs)
+    w_ref = refs.pop(0) if weighted else None
+    feats_ref = refs.pop(0)
+    out_ref = refs.pop(0)
+    den_ref = refs.pop(0) if with_denom else None
+    w_scratch = refs.pop(0) if weighted else None
+    feat_scratch = refs.pop(0)
+    acc_scratch = refs.pop(0)
+    den_scratch = refs.pop(0) if with_denom else None
+    w_sem = refs.pop(0) if weighted else None
+    feat_sem = refs.pop(0)
+
     rb = pl.program_id(0)
     ft = pl.program_id(1)
     heads_per_tile = 128 // feats_per_head
@@ -447,18 +459,23 @@ def _spmm_rowmask_kernel(
 
     def dma(slot, i):
         off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
-        return (
-            pltpu.make_async_copy(
-                w_ref.at[:, pl.ds(off, EDGE_CHUNK)],
-                w_scratch.at[slot],
-                w_sem.at[slot],
-            ),
+        copies = []
+        if weighted:
+            copies.append(
+                pltpu.make_async_copy(
+                    w_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+                    w_scratch.at[slot],
+                    w_sem.at[slot],
+                )
+            )
+        copies.append(
             pltpu.make_async_copy(
                 feats_ref.at[pl.ds(off, EDGE_CHUNK), pl.ds(ft * 128, 128)],
                 feat_scratch.at[slot],
                 feat_sem.at[slot],
-            ),
+            )
         )
+        return copies
 
     @pl.when(nck > 0)
     def _():
@@ -473,17 +490,19 @@ def _spmm_rowmask_kernel(
             den_scratch[...] = jnp.zeros_like(den_scratch)
 
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
-    # Spread matrix: lane l of this feature tile belongs to head
-    # ft*heads_per_tile + l // F; S scatters the (K_pad, E) weight rows onto
-    # their lanes via one tiny exact matmul (no in-kernel transpose needed).
-    h_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 0)
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 1)
-    if single_head:
-        spread = (h_ids == 0).astype(jnp.float32)  # every lane is head 0
-    else:
-        spread = (
-            h_ids == ft * heads_per_tile + l_ids // feats_per_head
-        ).astype(jnp.float32)
+    if weighted:
+        # Spread matrix: lane l of this feature tile belongs to head
+        # ft*heads_per_tile + l // F; S scatters the (K_pad, E) weight rows
+        # onto their lanes via one tiny exact matmul (no in-kernel
+        # transpose needed).
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 0)
+        l_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 1)
+        if single_head:
+            spread = (h_ids == 0).astype(jnp.float32)  # every lane: head 0
+        else:
+            spread = (
+                h_ids == ft * heads_per_tile + l_ids // feats_per_head
+            ).astype(jnp.float32)
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)
@@ -501,19 +520,34 @@ def _spmm_rowmask_kernel(
         m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0]).astype(
             feat_dtype
         )  # (ROW_BLOCK, EDGE_CHUNK); 0/1 are exact in bf16
-        w_chunk = w_scratch[slot]  # (K_pad, EDGE_CHUNK)
-        w_lane = jax.lax.dot_general(
-            w_chunk,
-            spread,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (EDGE_CHUNK, 128): per-edge weight broadcast onto its head lanes
-        # bf16 feats run the MXU at double rate and halve the dominant HBM
-        # stream; the accumulator stays f32 via preferred_element_type.
-        scaled = (feat_scratch[slot].astype(jnp.float32) * w_lane).astype(
-            feat_dtype
-        )
+        if weighted:
+            w_chunk = w_scratch[slot]  # (K_pad, EDGE_CHUNK)
+            # bf16 stream: weights ride at bf16 precision end-to-end (the
+            # features already do); f32 stream keeps the spread exact.
+            exact = feat_dtype == jnp.float32
+            w_lane = jax.lax.dot_general(
+                w_chunk,
+                spread,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if exact
+                    else jax.lax.Precision.DEFAULT
+                ),
+            )  # (EDGE_CHUNK, 128): per-edge weight broadcast onto head lanes
+            # bf16 feats run the MXU at double rate and halve the dominant
+            # HBM stream; the accumulator stays f32.
+            if exact:
+                scaled = (
+                    feat_scratch[slot].astype(jnp.float32) * w_lane
+                ).astype(feat_dtype)
+            else:
+                scaled = feat_scratch[slot] * w_lane.astype(feat_dtype)
+        else:
+            # Unweighted fast path: no weight stream, no spread matmul, no
+            # scaling pass — the selection matmul consumes the chunk as-is.
+            scaled = feat_scratch[slot]
         acc_scratch[...] += jnp.dot(
             m, scaled, preferred_element_type=jnp.float32
         )
@@ -522,7 +556,7 @@ def _spmm_rowmask_kernel(
             @pl.when(ft == 0)
             def _():
                 den_scratch[:, :k_pad] += jax.lax.dot_general(
-                    m,
+                    m.astype(jnp.float32),  # w_chunk is f32; no mixed dot
                     w_chunk,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -534,17 +568,16 @@ def _spmm_rowmask_kernel(
     out_ref[...] = acc_scratch[...]
     if with_denom:
         den_ref[...] = den_scratch[...]
-    else:
-        den_ref[...] = jnp.zeros_like(den_scratch)
 
 
 def spmm_rowmask(
     csr: CSR,
-    w: jnp.ndarray,  # (capacity, heads) CSR-order edge weights
+    w: Optional[jnp.ndarray],  # (capacity, heads) CSR-order edge weights
     node_feats: jnp.ndarray,  # (N, heads * F) flat source features
     heads: int = 1,
     with_denom: bool = False,
     interpret: bool = False,
+    stream_dtype=None,
 ):
     """out[d] = sum_e w[e, h] * node_feats[src_e, h-lanes] — fused weighted
     multihead SpMM reading CSR order directly through positional row masks.
@@ -555,6 +588,18 @@ def spmm_rowmask(
     at scale). ``with_denom=True`` additionally returns
     ``denom[d, h] = sum_e w[e, h]`` accumulated in the same pass — the
     softmax normalizer for free.
+
+    ``w=None`` takes the unweighted fast path: no weight stream, no spread
+    matmul, no scaling pass (measured: the weighted machinery costs ~25% of
+    kernel time on an unweighted 2M-edge SpMM).
+
+    ``stream_dtype`` sets the gathered-feature stream element type; pass
+    ``jnp.bfloat16`` to halve the dominant HBM stream and run the selection
+    matmul at the MXU's double bf16 rate (accumulation stays f32). The cast
+    happens *after* the gather (fused into the gather's output write) —
+    gathering from a bf16 table is slower, not faster: the random row reads
+    are transaction-bound, so halving the row payload saves nothing while
+    the narrower write hurts (measured 3.9 ms vs 3.3 ms at E=2M, F=128).
 
     Requirements: ``heads * F`` divisible by 128 and ``128 % F == 0``
     (single-head: any F, padded to 128 lanes). Returns ``(out, denom)``;
@@ -571,11 +616,17 @@ def spmm_rowmask(
         raise ValueError(
             "multihead spmm_rowmask needs 128 % F == 0 and heads*F % 128 == 0"
         )
+    weighted = w is not None
+    if with_denom and not weighted:
+        raise ValueError("with_denom requires weights")
     k_pad = max(_round_up(heads, 8), 8)
     f_pad = _round_up(max(f_flat, 128), 128)
-    feat_dtype = (
-        jnp.bfloat16 if node_feats.dtype == jnp.bfloat16 else jnp.float32
-    )
+    if stream_dtype is not None:
+        feat_dtype = stream_dtype
+    else:
+        feat_dtype = (
+            jnp.bfloat16 if node_feats.dtype == jnp.bfloat16 else jnp.float32
+        )
     _, rows_np, cols_np, _ = csr.host_arrays()
     cols_c = np.minimum(cols_np, n - 1)
 
@@ -583,10 +634,11 @@ def spmm_rowmask(
     # padding positions (be <= indptr[n]), so garbage weights there are
     # unreachable — and the (E,) mask constant would add tens of MB to the
     # lowered module at scale.
-    wt = jnp.pad(
-        w.reshape(cap, heads).astype(jnp.float32),
-        ((0, meta.cap_pad - cap), (0, k_pad - heads)),
-    ).T  # (K_pad, CAP_pad)
+    if weighted:
+        wt = jnp.pad(
+            w.reshape(cap, heads).astype(jnp.float32),
+            ((0, meta.cap_pad - cap), (0, k_pad - heads)),
+        ).T  # (K_pad, CAP_pad)
 
     # Row padding rides the gather indices (an explicit pad would copy
     # the whole (E, F) plane — gigabytes at scale). One shared constant,
@@ -616,59 +668,76 @@ def spmm_rowmask(
         nb_seg = b1 - b0
         astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo)
         seg_cols = jax.lax.slice(cols_pad, (lo,), (hi,))
-        gathered = node_feats.astype(feat_dtype)[seg_cols]
+        # Gather from the ORIGINAL dtype table, cast on the output: the
+        # random reads are transaction-bound (row payload width is free),
+        # and the cast fuses into the gather's sequential write.
+        gathered = node_feats[seg_cols].astype(feat_dtype)
         if f_pad != f_flat:
             gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
+        in_specs = [
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+        ]
+        inputs = [astart_s, nchunks_s, bs_s, be_s]
+        if weighted:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+            inputs.append(wt[:, lo:hi])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(gathered)
+
+        out_specs = [pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft))]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, f_pad), jnp.float32)
+        ]
+        if with_denom:
+            out_specs.append(
+                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0))
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, 128), jnp.float32)
+            )
+
+        scratch = []
+        if weighted:
+            scratch.append(pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32))
+        scratch.append(pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype))
+        scratch.append(pltpu.VMEM((ROW_BLOCK, 128), jnp.float32))
+        if with_denom:
+            scratch.append(pltpu.VMEM((ROW_BLOCK, 128), jnp.float32))
+        if weighted:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nb_seg, f_pad // 128),
-            in_specs=[
-                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
-                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
-            out_specs=(
-                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
-                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0)),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
-                pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype),
-                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
-                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
         )
-        return pl.pallas_call(
+        res = pl.pallas_call(
             functools.partial(
                 _spmm_rowmask_kernel,
                 k_pad=k_pad,
                 feats_per_head=f if heads > 1 else 128,
                 single_head=heads == 1,
                 with_denom=with_denom,
+                weighted=weighted,
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, f_pad), jnp.float32),
-                jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, 128), jnp.float32),
-            ),
+            out_shape=tuple(out_shape),
             grid_spec=grid_spec,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * (hi - lo) * f_pad,
-                bytes_accessed=(hi - lo) * 4 * (f_pad + k_pad)
+                bytes_accessed=(hi - lo)
+                * (f_pad * jnp.dtype(feat_dtype).itemsize + (4 * k_pad if weighted else 0))
                 + nb_seg * ROW_BLOCK * f_pad * 4,
                 transcendentals=0,
             ),
-        )(
-            astart_s,
-            nchunks_s,
-            bs_s,
-            be_s,
-            wt[:, lo:hi],
-            gathered,
-        )
+        )(*inputs)
+        if with_denom:
+            return res
+        return res[0], None
 
     segs = _rowmask_segments(meta, f_pad, jnp.dtype(feat_dtype).itemsize)
     if len(segs) == 1:
@@ -689,13 +758,363 @@ def spmm_rowmask(
         out_s, den_s = call_segment(b0, b0 + nb_u, lo_u, lo_u + span_u)
         rows = (b1 - b0) * ROW_BLOCK
         outs.append(out_s[:rows])
-        dens.append(den_s[:rows])
+        if with_denom:
+            dens.append(den_s[:rows])
     out = jnp.concatenate(outs, axis=0)
-    den = jnp.concatenate(dens, axis=0)
     out = out[:n, :f_flat]
     if with_denom:
+        den = jnp.concatenate(dens, axis=0)
         return out, den[:n, :heads]
     return out, None
+
+
+def _spmm_sddmm_rowmask_kernel(
+    # scalar prefetch
+    astart_ref,  # (NB,)
+    nchunks_ref,  # (NB,)
+    # inputs
+    bs_ref,  # (1, ROW_BLOCK, 1) block
+    be_ref,  # (1, ROW_BLOCK, 1) block
+    w_ref,  # (K_pad, CAP_pad) HBM — weights in THIS CSR's edge order
+    g_ref,  # (CAP_pad, F_pad) HBM — gathered cotangents, this CSR's order
+    fs_ref,  # (ROW_BLOCK, 128) VMEM block — node features of this block
+    # outputs
+    out_ref,  # (ROW_BLOCK, 128) block — dh
+    dw_ref,  # (K_pad, CAP_pad) HBM — per-edge SDDMM, manual RMW DMA
+    # scratch
+    w_scratch,  # (2, K_pad, EDGE_CHUNK) f32
+    g_scratch,  # (2, EDGE_CHUNK, 128) feat dtype
+    acc_scratch,  # (ROW_BLOCK, 128) f32
+    dw_scratch,  # (K_pad, EDGE_CHUNK) f32
+    rmw_scratch,  # (K_pad, EDGE_CHUNK) f32
+    w_sem,
+    g_sem,
+    dw_sem,  # (2,): [0] read, [1] write
+    *,
+    k_pad: int,
+    feats_per_head: int,
+    single_head: bool,
+    cap_pad: int,
+):
+    """Backward transpose pass with the SDDMM folded in.
+
+    One pass computes BOTH backward quantities of a weighted SpMM:
+
+      dh[r]    = sum_e w[e] * g[col_e]          (rows r of this CSR)
+      dw[e, h] = <fs[row_e]|_h , g[col_e]|_h>   (per-edge, per-head)
+
+    The fold exploits that in this (transpose) pass the block's rows ARE the
+    SDDMM's first operand: ``fs_edge = mask^T @ fs_block`` recovers each
+    edge's row features with one extra MXU matmul, so the separate SDDMM's
+    two (E, H·F) gathers disappear (ROADMAP round-1 item 1's "real win").
+    dw lands in THIS CSR's positional order. Adjacent row blocks' chunk
+    grids overlap WITHOUT being mutually 1024-aligned, and feature tiles
+    revisit the same regions, so every chunk does read-modify-write DMA
+    against a plane the first grid step zeroes; the sequential TPU grid
+    makes the RMW race-free.
+    """
+    rb = pl.program_id(0)
+    ft = pl.program_id(1)
+    heads_per_tile = 128 // feats_per_head
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+
+    @pl.when(jnp.logical_and(rb == 0, ft == 0))
+    def _():
+        # Zero the dw plane once, before any RMW visits it. Output buffers
+        # are uninitialized memory; partial chunk overlaps make "first
+        # writer wins" untrackable, so everyone accumulates instead.
+        rmw_scratch[...] = jnp.zeros_like(rmw_scratch)
+
+        def zbody(j, _):
+            z = pltpu.make_async_copy(
+                rmw_scratch,
+                dw_ref.at[:, pl.ds(j * EDGE_CHUNK, EDGE_CHUNK)],
+                dw_sem.at[1],
+            )
+            z.start()
+            z.wait()
+            return ()
+
+        jax.lax.fori_loop(0, cap_pad // EDGE_CHUNK, zbody, (), unroll=False)
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return (
+            pltpu.make_async_copy(
+                w_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+                w_scratch.at[slot],
+                w_sem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                g_ref.at[pl.ds(off, EDGE_CHUNK), pl.ds(ft * 128, 128)],
+                g_scratch.at[slot],
+                g_sem.at[slot],
+            ),
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
+
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 1)
+    if single_head:
+        spread = (h_ids == 0).astype(jnp.float32)
+    else:
+        spread = (
+            h_ids == ft * heads_per_tile + l_ids // feats_per_head
+        ).astype(jnp.float32)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
+
+        for d in dma(slot, i):
+            d.wait()
+
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        pos = pos0 + i * EDGE_CHUNK
+        feat_dtype = g_scratch.dtype
+        m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0]).astype(
+            feat_dtype
+        )
+        w_chunk = w_scratch[slot]
+        exact = feat_dtype == jnp.float32
+        w_lane = jax.lax.dot_general(
+            w_chunk,
+            spread,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if exact
+                else jax.lax.Precision.DEFAULT
+            ),
+        )
+        g_raw = g_scratch[slot]
+        if exact:
+            scaled = (g_raw.astype(jnp.float32) * w_lane).astype(feat_dtype)
+        else:
+            scaled = g_raw * w_lane.astype(feat_dtype)
+        acc_scratch[...] += jnp.dot(
+            m, scaled, preferred_element_type=jnp.float32
+        )
+        # --- folded SDDMM ---
+        # Each edge's row features via a one-hot-column matmul (mask columns
+        # have at most one 1): (CHUNK, RB) @ (RB, 128).
+        fs_edge = jax.lax.dot_general(
+            m,
+            fs_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(feat_dtype)  # (EDGE_CHUNK, 128)
+        prod = fs_edge * g_raw  # (EDGE_CHUNK, 128)
+        dw_chunk = jax.lax.dot_general(
+            spread.astype(feat_dtype),
+            prod,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K_pad, EDGE_CHUNK): per-head lane-group sums
+        rd = pltpu.make_async_copy(
+            dw_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+            rmw_scratch,
+            dw_sem.at[0],
+        )
+        rd.start()
+        rd.wait()
+        dw_scratch[...] = rmw_scratch[...] + dw_chunk
+        wr = pltpu.make_async_copy(
+            dw_scratch, dw_ref.at[:, pl.ds(off, EDGE_CHUNK)], dw_sem.at[1]
+        )
+        wr.start()
+        wr.wait()  # next grid step may RMW this region — must be durable
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    out_ref[...] = acc_scratch[...]
+
+
+def spmm_rowmask_bwd(
+    csr: CSR,
+    w: jnp.ndarray,  # (capacity, heads) weights in THIS CSR's edge order
+    node_feats: jnp.ndarray,  # (N, heads*F) cotangents to aggregate (gu)
+    fs: jnp.ndarray,  # (N, heads*F) forward source features (SDDMM operand)
+    heads: int = 1,
+    interpret: bool = False,
+    stream_dtype=None,
+):
+    """Fused backward for the rowmask SpMM: ``(dh, dw)`` in one kernel pass.
+
+    Call on the TRANSPOSE CSR with transpose-order weights:
+    ``dh[s] = sum_e w[e] * node_feats[dst_e]`` and
+    ``dw[e, h] = <fs[src_e]|_h, node_feats[dst_e]|_h>`` — ``dw`` is returned
+    in the SAME (transpose) edge order as ``w``; permute to forward order
+    with the shared-eids permutation. Saves the separate SDDMM's two
+    (E, H·F) gathers (the transpose pass already gathers the cotangent
+    plane, and the block's rows are exactly the SDDMM's other operand).
+    """
+    meta = row_block_meta(csr)
+    n = csr.num_nodes
+    cap = csr.capacity
+    f_flat = node_feats.shape[-1]
+    f = f_flat // heads
+    if f * heads != f_flat:
+        raise ValueError("node_feats width must be heads * F")
+    if heads > 1 and (128 % f != 0 or f_flat % 128 != 0):
+        raise ValueError(
+            "multihead spmm_rowmask_bwd needs 128 % F == 0 and heads*F % 128 == 0"
+        )
+    k_pad = max(_round_up(heads, 8), 8)
+    f_pad = _round_up(max(f_flat, 128), 128)
+    if stream_dtype is not None:
+        feat_dtype = stream_dtype
+    else:
+        feat_dtype = (
+            jnp.bfloat16 if node_feats.dtype == jnp.bfloat16 else jnp.float32
+        )
+    _, rows_np, cols_np, _ = csr.host_arrays()
+    cols_c = np.minimum(cols_np, n - 1)
+    cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
+
+    wt = jnp.pad(
+        w.reshape(cap, heads).astype(jnp.float32),
+        ((0, meta.cap_pad - cap), (0, k_pad - heads)),
+    ).T  # (K_pad, CAP_pad)
+
+    fs_tbl = fs
+    if f_pad != f_flat:
+        fs_tbl = jnp.pad(fs_tbl, ((0, 0), (0, f_pad - f_flat)))
+    fs_tbl = jnp.pad(
+        fs_tbl, ((0, meta.num_rows_padded - fs_tbl.shape[0]), (0, 0))
+    ).astype(feat_dtype)
+
+    bs3 = meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)
+    be3 = meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)
+
+    def _meta_slice(b0, nb_seg, lo, span):
+        b1 = min(b0 + nb_seg, meta.num_blocks)
+        pad = nb_seg - (b1 - b0)
+        astart = np.pad(meta.astart[b0:b1] - np.int32(lo), (0, pad))
+        nchunks = np.pad(meta.nchunks[b0:b1], (0, pad))
+        # Clamp chunk ranges to the segment span (stragglers from the next
+        # segment would otherwise DMA out of the sliced arrays' bounds).
+        room = np.maximum(span - astart, 0) // EDGE_CHUNK
+        nchunks = np.minimum(nchunks, room).astype(np.int32)
+        bs_s = np.pad(bs3[b0:b1], ((0, pad), (0, 0), (0, 0)))
+        be_s = np.pad(be3[b0:b1], ((0, pad), (0, 0), (0, 0)))
+        return astart.astype(np.int32), nchunks, bs_s, be_s
+
+    def call_segment(b0, nb_seg, lo, hi):
+        span = hi - lo
+        astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo, span)
+        seg_cols = jax.lax.slice(cols_pad, (lo,), (hi,))
+        gathered = node_feats[seg_cols].astype(feat_dtype)
+        if f_pad != f_flat:
+            gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
+        # Uniform multi-segment shapes can overrun the row table; slice what
+        # exists and zero-pad the (empty, nchunks==0) straggler blocks.
+        hi_row = min((b0 + nb_seg) * ROW_BLOCK, fs_tbl.shape[0])
+        fs_seg = jax.lax.slice(fs_tbl, (b0 * ROW_BLOCK, 0), (hi_row, f_pad))
+        want = nb_seg * ROW_BLOCK
+        if fs_seg.shape[0] < want:
+            fs_seg = jnp.pad(fs_seg, ((0, want - fs_seg.shape[0]), (0, 0)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb_seg, f_pad // 128),
+            in_specs=[
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
+            ],
+            out_specs=(
+                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
+                pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype),
+                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+                pltpu.VMEM((k_pad, EDGE_CHUNK), jnp.float32),
+                pltpu.VMEM((k_pad, EDGE_CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _spmm_sddmm_rowmask_kernel,
+                k_pad=k_pad,
+                feats_per_head=f if heads > 1 else 128,
+                single_head=heads == 1,
+                cap_pad=span,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb_seg * ROW_BLOCK, f_pad), jnp.float32),
+                jax.ShapeDtypeStruct((k_pad, span), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * span * f_pad,
+                bytes_accessed=span
+                * (f_pad * jnp.dtype(feat_dtype).itemsize + 12 * k_pad)
+                + nb_seg * ROW_BLOCK * f_pad * 4,
+                transcendentals=0,
+            ),
+        )(
+            astart_s, nchunks_s, bs_s, be_s,
+            wt[:, lo:hi], gathered, fs_seg,
+        )
+
+    segs = _rowmask_segments(meta, f_pad, jnp.dtype(feat_dtype).itemsize)
+    # EDGE_CHUNK-align segment bounds: the kernel zeroes/walks the dw span
+    # in whole chunks (cap_pad itself is chunk-aligned).
+    segs = [
+        (b0, b1, (lo // EDGE_CHUNK) * EDGE_CHUNK,
+         min(_round_up(hi, EDGE_CHUNK), meta.cap_pad))
+        for b0, b1, lo, hi in segs
+    ]
+    if len(segs) == 1:
+        b0, b1, lo, hi = segs[0]
+        dh, dw_t = call_segment(b0, b1 - b0, lo, hi)
+        dw = dw_t[:heads, :cap].T  # (cap, heads), this CSR's edge order
+        return dh[:n, :f_flat], dw
+
+    nb_u = max(b1 - b0 for b0, b1, _, _ in segs)
+    span_u = max(hi - lo for _, _, lo, hi in segs)
+    outs = []
+    dw_full = jnp.zeros((k_pad, meta.cap_pad), jnp.float32)
+    prev_hi = 0
+    for b0, b1, lo, hi in segs:
+        lo_u = min(lo, max(meta.cap_pad - span_u, 0))
+        dh_s, dw_s = call_segment(b0, nb_u, lo_u, lo_u + span_u)
+        rows = (b1 - b0) * ROW_BLOCK
+        outs.append(dh_s[:rows])
+        # Stitch dw: within [lo_u, lo_u+span_u), positions before prev_hi
+        # already hold earlier segments' contributions — add the overlap.
+        seg_lo = max(lo_u, 0)
+        keep = jax.lax.dynamic_slice(
+            dw_full, (0, seg_lo), (k_pad, span_u)
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, span_u), 1) + seg_lo
+        merged = jnp.where(col < prev_hi, keep + dw_s, dw_s)
+        dw_full = jax.lax.dynamic_update_slice(dw_full, merged, (0, seg_lo))
+        prev_hi = max(prev_hi, lo_u + span_u)
+    dh = jnp.concatenate(outs, axis=0)[:n, :f_flat]
+    dw = dw_full[:heads, :cap].T
+    return dh, dw
 
 
 def _rowmask_segments(meta: RowBlockMeta, f_pad: int, itemsize: int):

@@ -418,14 +418,19 @@ def _to_blocked_w_mh(blk: BlockedCSR, csr: CSR, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_rowmask_spmm(
-    csr: CSR, csr_t: CSR, heads: int, interpret: bool, weighted: bool = True
+    csr: CSR,
+    csr_t: CSR,
+    heads: int,
+    interpret: bool,
+    weighted: bool = True,
+    stream_dtype=None,
 ):
     """Custom-VJP SpMM over the position-masked rowmask kernel.
 
     Forward: fused weighted aggregation in CSR order. Backward: the same
     kernel on the transpose CSR (weights routed through the shared user
     eids) plus a flattened SDDMM for the weight gradient — scatter-free
-    end to end.
+    end to end. Unweighted calls skip the weight stream in BOTH directions.
     """
     from stgraph_tpu.ops import segment_pallas as nsp
 
@@ -433,17 +438,23 @@ def _make_rowmask_spmm(
     cap = csr.capacity
     _, rows_np, cols_np, eids_np = csr.host_arrays()
     _, _, _, eids_t_np = csr_t.host_arrays()
-    rows_c = np.minimum(rows_np, n - 1)
-    cols_c = np.minimum(cols_np, n - 1)
     emask = (rows_np < n).astype(np.float32)
     pos_in_fwd = np.zeros(cap + 1, np.int32)
     pos_in_fwd[np.minimum(eids_np, cap)] = np.arange(cap, dtype=np.int32)
     perm_t = pos_in_fwd[np.minimum(eids_t_np, cap)]
+    pos_in_t = np.zeros(cap + 1, np.int32)
+    pos_in_t[np.minimum(eids_t_np, cap)] = np.arange(cap, dtype=np.int32)
+    perm_f = pos_in_t[np.minimum(eids_np, cap)]
 
     @jax.custom_vjp
     def f(h_flat, w):  # h_flat (N, heads*F), w (cap, heads)
         out, _ = nsp.spmm_rowmask(
-            csr, w, h_flat, heads=heads, interpret=interpret
+            csr,
+            w if weighted else None,
+            h_flat,
+            heads=heads,
+            interpret=interpret,
+            stream_dtype=stream_dtype,
         )
         return out
 
@@ -452,15 +463,28 @@ def _make_rowmask_spmm(
 
     def bwd(res, g):
         h_flat, w = res
-        dh, _ = nsp.spmm_rowmask(
-            csr_t, w[perm_t], g, heads=heads, interpret=interpret
-        )
-        if not weighted:  # constant ones: skip the SDDMM entirely
+        if not weighted:  # constant ones: plain transpose pass, no SDDMM
+            dh, _ = nsp.spmm_rowmask(
+                csr_t,
+                None,
+                g,
+                heads=heads,
+                interpret=interpret,
+                stream_dtype=stream_dtype,
+            )
             return dh.astype(h_flat.dtype), jnp.zeros_like(w)
-        # dw[e, h] = sum_{f in head h} h[src_e, f] * g[dst_e, f] — flattened
-        # 2-D gathers (3-D row gathers are pathologically slow on TPU).
-        prod = (h_flat[cols_c] * g[rows_c]).reshape(cap, heads, -1)
-        dw = jnp.sum(prod, axis=-1) * emask[:, None]
+        # One fused transpose pass: dh AND the per-edge SDDMM dw (the
+        # separate SDDMM's two (E, H·F) gathers disappear).
+        dh, dw_t = nsp.spmm_rowmask_bwd(
+            csr_t,
+            w[perm_t],
+            g,
+            h_flat,
+            heads=heads,
+            interpret=interpret,
+            stream_dtype=stream_dtype,
+        )
+        dw = dw_t[perm_f] * emask[:, None]
         return dh.astype(h_flat.dtype), dw.astype(w.dtype)
 
     f.defvjp(fwd, bwd)
@@ -473,6 +497,20 @@ def _rowmask_eligible(csr, heads: int, f: int) -> bool:
     ):
         return False
     return heads == 1 or (128 % f == 0 and (heads * f) % 128 == 0)
+
+
+# f32 inputs on graphs at least this large stream bf16 through the rowmask
+# kernel (f32 accumulate): halves the dominant HBM stream and runs the
+# selection matmul at the MXU's double bf16 rate. Below this size the
+# absolute win is microseconds and exactness is worth keeping (the allclose
+# test graphs live there).
+_BF16_STREAM_MIN_EDGES = 200_000
+
+
+def _stream_dtype(csr: CSR, dt) -> Optional[jnp.dtype]:
+    if dt == jnp.float32 and csr.capacity >= _BF16_STREAM_MIN_EDGES:
+        return jnp.bfloat16
+    return None
 
 
 def spmm(
@@ -502,9 +540,10 @@ def spmm(
             if _rowmask_eligible(csr, h, fpe):
                 if csr_t is None:
                     csr_t = csr.transpose()
-                out = _make_rowmask_spmm(csr, csr_t, h, interpret)(
-                    node_feat.reshape(n, h * fpe), w
-                )
+                out = _make_rowmask_spmm(
+                    csr, csr_t, h, interpret,
+                    stream_dtype=_stream_dtype(csr, node_feat.dtype),
+                )(node_feat.reshape(n, h * fpe), w)
                 return out.reshape(n, h, fpe).astype(node_feat.dtype)
             blocked, blocked_t = _ensure_blocked(csr, blocked, blocked_t, csr_t)
             return _make_spmm_multihead(blocked, blocked_t, csr, interpret)(
@@ -523,9 +562,10 @@ def spmm(
     if _rowmask_eligible(csr, 1, node_feat.shape[-1]):
         if csr_t is None:
             csr_t = csr.transpose()
-        out = _make_rowmask_spmm(csr, csr_t, 1, interpret, weighted=weighted)(
-            node_feat, w.reshape(-1, 1)
-        )
+        out = _make_rowmask_spmm(
+            csr, csr_t, 1, interpret, weighted=weighted,
+            stream_dtype=_stream_dtype(csr, node_feat.dtype),
+        )(node_feat, w.reshape(-1, 1))
         return out.astype(node_feat.dtype)
     blocked, blocked_t = _ensure_blocked(csr, blocked, blocked_t, csr_t)
     return _make_spmm(blocked, blocked_t, weighted, interpret, csr)(node_feat, w)
