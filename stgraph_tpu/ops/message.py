@@ -95,21 +95,21 @@ def aggregate(
         from stgraph_tpu.ops import segment_pallas as nsp
 
         k = int(np.prod(edge_vals.shape[1:])) if edge_vals.ndim > 1 else 1
-        if k <= nsp.MAX_NARROW_K and reduce in ("sum", "max", "mean"):
+        if reduce in ("sum", "max", "mean"):
+            narrow = k <= nsp.MAX_NARROW_K
             if reduce == "sum":
-                return nsp.segment_sum_narrow(csr, edge_vals)
+                fn = nsp.segment_sum_narrow if narrow else nsp.segment_sum_wide
+                return fn(csr, edge_vals)
             if reduce == "max":
-                return nsp.segment_max_narrow(csr, edge_vals)
-            # mean = narrow sum / host-side in-degree (empty rows -> 0/1=0,
-            # the reference's divisor semantics, registry.py:96-99)
+                fn = nsp.segment_max_narrow if narrow else nsp.segment_max_wide
+                return fn(csr, edge_vals)
+            # mean = sum / host-side in-degree (empty rows -> 0/1=0, the
+            # reference's divisor semantics, registry.py:96-99)
             indptr, _, _, _ = csr.host_arrays()
             deg = np.maximum(indptr[1:] - indptr[:-1], 1).astype(np.float32)
-            s = nsp.segment_sum_narrow(csr, edge_vals)
+            fn = nsp.segment_sum_narrow if narrow else nsp.segment_sum_wide
+            s = fn(csr, edge_vals)
             return s / deg.reshape((csr.num_nodes,) + (1,) * (s.ndim - 1))
-        if reduce == "sum" and blocked is not None:
-            from stgraph_tpu.ops import spmm_pallas
-
-            return spmm_pallas.segment_sum_edges(csr, edge_vals, blocked=blocked)
     mask = csr.edge_mask if masked else None
     fn = {
         "sum": seg.segment_sum,

@@ -48,6 +48,10 @@ __all__ = [
     "row_block_meta",
     "segment_sum_narrow",
     "segment_max_narrow",
+    "segment_sum_wide",
+    "segment_max_wide",
+    "spmm_rowmask",
+    "spmm_rowmask_bwd",
     "MAX_NARROW_K",
 ]
 
@@ -409,6 +413,291 @@ def segment_max_narrow(
         is_max = (vf == of[rows_c]) & (edge_mask[:, None] > 0)
         dv = jnp.where(is_max, gf[rows_c], 0.0)
         return (dv.reshape((cap,) + trailing).astype(v.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(edge_vals)
+
+
+def _wide_max_kernel(
+    astart_ref,  # (NB,) scalar prefetch
+    nchunks_ref,  # (NB,)
+    bs_ref,  # (1, ROW_BLOCK, 1) block
+    be_ref,  # (1, ROW_BLOCK, 1) block
+    vals_ref,  # (CAP_pad, F_pad) HBM — CSR-order edge values
+    out_ref,  # (ROW_BLOCK, 128) block
+    vals_scratch,  # (2, EDGE_CHUNK, 128) f32
+    acc_scratch,  # (ROW_BLOCK, 128) f32
+    sem,
+):
+    """Per-destination max over WIDE trailing widths (F > MAX_NARROW_K).
+
+    Per chunk: a segmented prefix-max along positions (log2(EDGE_CHUNK)
+    shift-and-select steps on the VPU; segment starts come from one
+    masked reduce over the row ranges — no scan needed because CSR rows
+    are contiguous), then each row picks the prefix value at its last
+    in-chunk position with a one-hot selection matmul. Cross-chunk combine
+    is an elementwise max on the accumulator. Replaces the serialized XLA
+    scatter the wide-max path previously fell to (reference fuses AggMax
+    into every kernel: ``stgraph/compiler/registry.py:295-338``).
+    """
+    rb = pl.program_id(0)
+    ft = pl.program_id(1)
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return pltpu.make_async_copy(
+            vals_ref.at[pl.ds(off, EDGE_CHUNK), pl.ds(ft * 128, 128)],
+            vals_scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    neg_inf = jnp.float32(-jnp.inf)
+    acc_scratch[...] = jnp.full_like(acc_scratch, neg_inf)
+    pos_rc = jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1
+    )  # block-local positions per (row, pos)
+    pos_col = jax.lax.broadcasted_iota(
+        jnp.int32, (EDGE_CHUNK, 128), 0
+    )  # position per (pos, lane)
+    bs = bs_ref[0]  # (ROW_BLOCK, 1)
+    be = be_ref[0]
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+
+        base = i * EDGE_CHUNK
+        pos = pos_rc + base  # (ROW_BLOCK, EDGE_CHUNK) block-local
+        # Segment start per position: the largest row-start <= pos (rows
+        # are contiguous, so this is the position's own row's start). For
+        # carried-over positions (their row started before this block's
+        # coverage) it clamps to the chunk start — still correct, those
+        # rows own the whole chunk prefix.
+        starts = jnp.max(
+            jnp.where(bs <= pos, bs, jnp.int32(-1)), axis=0
+        )  # (EDGE_CHUNK,)
+        start_local = jnp.maximum(starts - base, 0).reshape(
+            EDGE_CHUNK, 1
+        )  # chunk-local, clamped
+
+        v = vals_scratch[slot].astype(jnp.float32)
+        step = 1
+        while step < EDGE_CHUNK:
+            shifted = pltpu.roll(v, step, 0)  # v[p - step] at row p
+            take = pos_col - step >= start_local
+            v = jnp.where(take, jnp.maximum(v, shifted), v)
+            step *= 2
+        # Each row picks prefix[min(be, hi) - 1] if it has positions here.
+        hi = base + EDGE_CHUNK
+        pick_pos = jnp.minimum(be, hi) - 1  # (ROW_BLOCK, 1)
+        present = jnp.logical_and(
+            bs < be, jnp.logical_and(bs < hi, be > base)
+        )  # non-empty row ∩ chunk
+        onehot = jnp.logical_and(
+            pos == pick_pos, present
+        ).astype(v.dtype)  # (ROW_BLOCK, EDGE_CHUNK)
+        picked = jax.lax.dot_general(
+            onehot,
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ROW_BLOCK, 128) — exact: one-hot rows
+        picked = jnp.where(present, picked, neg_inf)
+        acc_scratch[...] = jnp.maximum(acc_scratch[...], picked)
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    acc = acc_scratch[...]
+    # Empty segments -> 0, matching ops.segment.segment_max semantics.
+    out_ref[...] = jnp.where(jnp.isneginf(acc), 0.0, acc)
+
+
+def _wide_call(csr: CSR, edge_vals: jnp.ndarray, kernel, interpret: bool):
+    """Shared driver: CSR-order (cap, K) edge values -> (N, K) reduction."""
+    meta = row_block_meta(csr)
+    n = csr.num_nodes
+    cap = csr.capacity
+    k = edge_vals.shape[1]
+    f_pad = _round_up(max(k, 128), 128)
+    vf = edge_vals.astype(jnp.float32)
+    vf = jnp.pad(vf, ((0, meta.cap_pad - cap), (0, f_pad - k)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(meta.num_blocks, f_pad // 128),
+        in_specs=[
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
+        scratch_shapes=[
+            pltpu.VMEM((2, EDGE_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (meta.num_rows_padded, f_pad), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * meta.cap_pad * f_pad,
+            bytes_accessed=meta.cap_pad * 4 * f_pad
+            + meta.num_rows_padded * f_pad * 4,
+            transcendentals=0,
+        ),
+    )(
+        meta.astart,
+        meta.nchunks,
+        meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1),
+        meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1),
+        vf,
+    )
+    return out[:n, :k]
+
+
+def segment_max_wide(
+    csr: CSR, edge_vals: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Per-destination max of CSR-order ``edge_vals`` for ANY trailing
+    width; empty rows -> 0. Scatter-free forward (segmented prefix-max)
+    and backward (argmax-mask gather, ties double-count like the narrow
+    kernel). Requires a concrete CSR.
+    """
+    cap = csr.capacity
+    n = csr.num_nodes
+    lead = edge_vals.shape[0]
+    trailing = edge_vals.shape[1:]
+    k = int(np.prod(trailing)) if trailing else 1
+    if lead != cap:
+        raise ValueError(f"edge_vals leading dim {lead} != capacity {cap}")
+    _, rows_np, _, _ = csr.host_arrays()
+    rows_c = np.minimum(rows_np, n - 1)
+    edge_mask = (rows_np < n).astype(np.float32)
+
+    @jax.custom_vjp
+    def f(v):
+        out = _wide_call(csr, v.reshape(cap, k), _wide_max_kernel, interpret)
+        return out.reshape((n,) + trailing).astype(edge_vals.dtype)
+
+    def fwd(v):
+        out = f(v)
+        return out, (v, out)
+
+    def bwd(res, g):
+        v, out = res
+        vf = v.reshape(cap, k)
+        gf = g.reshape(n, k)
+        of = out.reshape(n, k)
+        is_max = (vf == of[rows_c]) & (edge_mask[:, None] > 0)
+        dv = jnp.where(is_max, gf[rows_c], 0.0)
+        return (dv.reshape((cap,) + trailing).astype(v.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(edge_vals)
+
+
+def segment_sum_wide(
+    csr: CSR, edge_vals: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Per-destination sum of CSR-order ``edge_vals`` for ANY trailing
+    width — the unweighted rowmask selection-matmul applied directly to
+    edge values (no gather). Scatter-free VJP (destination gather)."""
+    cap = csr.capacity
+    n = csr.num_nodes
+    lead = edge_vals.shape[0]
+    trailing = edge_vals.shape[1:]
+    k = int(np.prod(trailing)) if trailing else 1
+    if lead != cap:
+        raise ValueError(f"edge_vals leading dim {lead} != capacity {cap}")
+    _, rows_np, _, _ = csr.host_arrays()
+    rows_c = np.minimum(rows_np, n - 1)
+    edge_mask = (rows_np < n).astype(np.float32)
+    meta = row_block_meta(csr)
+    k_pad = 8  # unused by the unweighted kernel
+
+    # bf16 value stream on large graphs (f32 accumulate) — same rationale
+    # and threshold as the SpMM path.
+    stream = (
+        jnp.bfloat16
+        if cap >= 200_000 and edge_vals.dtype == jnp.float32
+        else jnp.float32
+    )
+
+    @jax.custom_vjp
+    def f(v):
+        vf = v.reshape(cap, k).astype(stream)
+        f_pad = _round_up(max(k, 128), 128)
+        vf = jnp.pad(vf, ((0, meta.cap_pad - cap), (0, f_pad - k)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(meta.num_blocks, f_pad // 128),
+            in_specs=[
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, EDGE_CHUNK, 128), stream),
+                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        (out,) = pl.pallas_call(
+            functools.partial(
+                _spmm_rowmask_kernel,
+                k_pad=k_pad,
+                feats_per_head=128,
+                single_head=True,
+                with_denom=False,
+                weighted=False,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (meta.num_rows_padded, f_pad), jnp.float32
+                ),
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * meta.cap_pad * f_pad,
+                bytes_accessed=meta.cap_pad * 4 * f_pad
+                + meta.num_rows_padded * f_pad * 4,
+                transcendentals=0,
+            ),
+        )(
+            meta.astart,
+            meta.nchunks,
+            meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1),
+            meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1),
+            vf,
+        )
+        return out[:n, :k].reshape((n,) + trailing).astype(edge_vals.dtype)
+
+    def fwd(v):
+        return f(v), ()
+
+    def bwd(_, g):
+        gf = g.reshape(n, k)
+        dv = gf[rows_c] * edge_mask[:, None]
+        return (dv.reshape((cap,) + trailing).astype(edge_vals.dtype),)
 
     f.defvjp(fwd, bwd)
     return f(edge_vals)

@@ -165,3 +165,45 @@ def test_weighted_spmm_grad_fused_matches_jnp(rng):
     gj = jax.grad(loss_jnp, argnums=(0, 1))(h, w)
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gj[0]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gj[1]), rtol=2e-4, atol=2e-4)
+
+
+def test_wide_segment_reductions_vs_oracle(rng):
+    """segment_max_wide / segment_sum_wide (K > MAX_NARROW_K) match the jnp
+    oracle, values and grads (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops import segment as seg
+    from stgraph_tpu.ops import segment_pallas as nsp
+
+    for n, e, k in [(200, 3000, 64), (97, 511, 130), (50, 120, 32)]:
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        csr = build_csr(src, dst, n)
+        v = jnp.asarray(
+            rng.standard_normal((csr.capacity, k)).astype(np.float32)
+        )
+        gref = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+
+        got = nsp.segment_max_wide(csr, v, interpret=True)
+        want = seg.segment_max(v, csr.rows, n, edge_mask=csr.edge_mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+        gs = nsp.segment_sum_wide(csr, v, interpret=True)
+        ws = seg.segment_sum(v, csr.rows, n, edge_mask=csr.edge_mask)
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(ws), rtol=1e-4, atol=1e-4
+        )
+        # gradients
+        gk = jax.grad(
+            lambda x: jnp.sum(nsp.segment_sum_wide(csr, x, interpret=True) * gref)
+        )(v)
+        gj = jax.grad(
+            lambda x: jnp.sum(
+                seg.segment_sum(x, csr.rows, n, edge_mask=csr.edge_mask) * gref
+            )
+        )(v)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gj), rtol=1e-4, atol=1e-4
+        )
