@@ -5,10 +5,18 @@ partitioner in ``partition.py``; shard_map halo-exchange SpMM in
 ``halo.py``; mesh helpers in ``mesh.py``.
 """
 
-from stgraph_tpu.parallel.halo import dist_spmm, replicate, shard_node_array
+from stgraph_tpu.parallel.halo import (
+    dist_gat_attention,
+    dist_spmm,
+    replicate,
+    shard_edge_array,
+    shard_node_array,
+)
 from stgraph_tpu.parallel.mesh import make_mesh
 from stgraph_tpu.parallel import launch
 from stgraph_tpu.parallel.layers import (
+    dist_gat_conv,
+    dist_gat_params,
     dist_gcn_conv,
     dist_gcn_params,
     dist_tgcn_cell,
@@ -18,6 +26,9 @@ from stgraph_tpu.parallel.partition import DistGraph, partition_edges
 
 __all__ = [
     "DistGraph",
+    "dist_gat_attention",
+    "dist_gat_conv",
+    "dist_gat_params",
     "dist_gcn_conv",
     "dist_gcn_params",
     "dist_spmm",
@@ -27,5 +38,6 @@ __all__ = [
     "make_mesh",
     "partition_edges",
     "replicate",
+    "shard_edge_array",
     "shard_node_array",
 ]

@@ -1,4 +1,4 @@
-"""Distributed SpMM: shard_map halo exchange + local aggregation.
+"""Distributed SpMM / GAT attention: shard_map halo exchange + local ops.
 
 The device-side half of the distribution layer (host half:
 ``parallel/partition.py``). Per BASELINE.json: "edge-partitioning the
@@ -7,16 +7,26 @@ overlapping the exchange with local neighborhood aggregation".
 
 Inside ``shard_map`` each shard:
 
-  1. gathers its outgoing halo rows (``send_idx``) into a (P, K, F) buffer;
-  2. ``jax.lax.all_to_all`` swaps buffers over the ``graph`` mesh axis —
-     on hardware this rides ICI, and XLA's async collectives let the
+  1. gathers its outgoing halo rows into per-ring-step send buffers
+     (``send_idx_by_d``) and exchanges them with P-1 ``ppermute`` steps —
+     each step is padded only to that displacement's max K_d, so comm
+     volume is Σ_d K_d rows instead of a global-max all_to_all's
+     (P-1)·K_max (on power-law graphs the difference is large); on
+     hardware every step rides ICI and XLA's async collectives let the
      **interior** aggregation (edges whose sources are local) overlap the
      exchange: interior edges never touch the halo buffer, so their
-     segment-sum has no data dependency on the collective;
-  3. aggregates over the widened [local | halo] feature buffer.
+     segment-sum has no data dependency on the collectives;
+  2. aggregates over the widened [local | halo] feature buffer.
 
-Autodiff: shard_map is differentiable — ``all_to_all`` transposes to
-``all_to_all``, the halo gather transposes to a scatter-add — so the
+Weighted aggregation routes per-edge data (GCN edge weights, GAT attention
+coefficients) into shard-local CSR order through the partitioner's global
+edge-id maps (``*_gids``). GAT runs entirely shard-local after ONE fused
+halo exchange carrying ``[feat_src | el]``: destination-range partitioning
+means every node's full in-neighborhood lives on one shard, so the segment
+softmax never crosses the mesh.
+
+Autodiff: shard_map is differentiable — ``ppermute`` transposes to the
+reverse permutation, the halo gather transposes to a scatter-add — so the
 gradient halo reduction the reference would have needed to hand-write is
 synthesized by JAX (SURVEY §5.8).
 """
@@ -28,14 +38,22 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from stgraph_tpu.graph.csr import CSR
 from stgraph_tpu.ops import message as M
+from stgraph_tpu.ops import segment as seg
 from stgraph_tpu.parallel.partition import DistGraph
 
-__all__ = ["dist_spmm", "shard_node_array", "replicate"]
+__all__ = [
+    "dist_spmm",
+    "dist_gat_attention",
+    "shard_node_array",
+    "shard_edge_array",
+    "replicate",
+]
 
 
 def shard_node_array(mesh: Mesh, x: jnp.ndarray, dg: DistGraph) -> jnp.ndarray:
@@ -47,8 +65,59 @@ def shard_node_array(mesh: Mesh, x: jnp.ndarray, dg: DistGraph) -> jnp.ndarray:
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def shard_edge_array(
+    mesh: Mesh, w: jnp.ndarray, dg: DistGraph, which: str = "local"
+) -> jnp.ndarray:
+    """Route global USER-order edge data into stacked shard-local order.
+
+    Returns a (P, cap, ...) array sharded over 'graph': slice p holds shard
+    p's per-edge values in its local CSR slot order (zero on padding).
+    ``which`` ∈ {'local', 'interior', 'frontier'}.
+    """
+    gids = {
+        "local": dg.local_gids,
+        "interior": dg.interior_gids,
+        "frontier": dg.frontier_gids,
+    }[which]
+    w = jnp.asarray(w)
+    flat = w.reshape(w.shape[0], -1)
+    valid = gids < dg.num_global_edges
+    out = flat[np.minimum(gids, dg.num_global_edges - 1)]
+    out = jnp.where(valid[..., None], out, 0.0)
+    out = out.reshape(gids.shape + w.shape[1:])
+    spec = P("graph", *([None] * (out.ndim - 1)))
+    return jax.device_put(out, NamedSharding(mesh, spec))
+
+
 def replicate(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def _halo_exchange(dg: DistGraph, axis: str, send_idx_by_d, x_local):
+    """P-1 ppermute ring steps -> (halo_total, F) received buffer.
+
+    ``send_idx_by_d`` are the shard_map-sliced (1, K_d) index arrays.
+    Receiving shard p's step-d rows come from shard (p-d)%P and land at
+    ``halo_offsets[d]`` — exactly where the partitioner pointed frontier
+    cols.
+    """
+    p = dg.num_shards
+    recvs = []
+    for d in range(1, p):
+        idx = send_idx_by_d[d - 1][0]  # (K_d,)
+        send = x_local[idx]  # (K_d, F)
+        recvs.append(
+            jax.lax.ppermute(
+                send, axis, perm=[(q, (q + d) % p) for q in range(p)]
+            )
+        )
+    if not recvs:
+        return jnp.zeros((dg.halo_total,) + x_local.shape[1:], x_local.dtype)
+    buf = jnp.concatenate(recvs, axis=0)
+    pad = dg.halo_total - buf.shape[0]
+    if pad:
+        buf = jnp.pad(buf, [(0, pad)] + [(0, 0)] * (buf.ndim - 1))
+    return buf
 
 
 def _shard_blocked(blk_arrays, num_nodes: int, rows_padded: int, capacity: int):
@@ -73,33 +142,44 @@ def dist_spmm(
     mesh: Mesh,
     dg: DistGraph,
     h: jnp.ndarray,
+    edge_weight: Optional[jnp.ndarray] = None,
     axis: str = "graph",
     overlap: bool = True,
     impl: str = "jnp",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[d] = sum over in-edges of h[src], edge-partitioned over ``axis``.
+    """out[d] = sum over in-edges of w_e · h[src], edge-partitioned.
 
     ``h`` is the (P·Ns, F) node-sharded feature array; returns the same
-    sharding. Unweighted sum aggregation (GCN folds its normalization into
-    node features; fused-weight variants follow the same pattern).
+    sharding. ``edge_weight`` (optional) is per-edge data already routed to
+    stacked shard order — (P, cap[, H]) from ``shard_edge_array(...,
+    'local')``; the interior/frontier split is derived in-program via the
+    shared eids. For multihead weights (trailing H) ``h`` must be
+    (P·Ns, H, F) and the output matches.
 
     ``overlap=True`` aggregates interior edges (local sources) as a
-    separate reduction with no data dependency on the halo ``all_to_all``,
-    so XLA's async collectives hide the exchange behind it; the frontier
-    edges then reduce over the received halo buffer alone. ``False`` keeps
-    the single-reduction formulation over the widened ``[local | halo]``
-    buffer (used by the equivalence tests).
+    separate reduction with no data dependency on the halo ppermutes, so
+    XLA's async collectives hide the exchange behind it; the frontier edges
+    then reduce over the received halo buffer alone. ``False`` keeps the
+    single-reduction formulation over the widened ``[local | halo]`` buffer
+    (used by the equivalence tests, and by the weighted path).
 
     ``impl='pallas'`` runs each shard's interior/frontier reduction on the
     blocked-CSR MXU kernel (layouts precomputed by the partitioner);
-    requires ``overlap=True``. ``'jnp'`` uses the XLA segment reduction.
+    requires ``overlap=True`` and no edge weights (weighted Pallas
+    per-shard reduction: ROADMAP). ``'jnp'`` uses the XLA segment
+    reduction.
     """
+    ns, p = dg.nodes_per_shard, dg.num_shards
+    weighted = edge_weight is not None
+    multihead = weighted and h.ndim == 3
     f = h.shape[-1]
-    ns, k, p = dg.nodes_per_shard, dg.halo_size, dg.num_shards
+    heads = h.shape[1] if multihead else 1
     if impl == "pallas":
         if not overlap:
             raise ValueError("impl='pallas' requires overlap=True")
+        if weighted:
+            raise ValueError("impl='pallas' supports unweighted sum only")
         if dg.interior_blocked is None:
             raise ValueError(
                 "impl='pallas' requires blocked layouts; rebuild the "
@@ -118,28 +198,37 @@ def dist_spmm(
             num_edges=c.num_edges,
         )
 
+    if weighted:
+        ew = jnp.asarray(edge_weight)
+        if ew.ndim == 2:
+            ew = ew[..., None] if not multihead else ew
+    else:
+        ew = jnp.zeros((p, 1), jnp.float32)  # placeholder pytree leaf
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(axis),  # send_idx stacked over shards
+            tuple(P(axis) for _ in dg.send_idx_by_d),
             P(axis),  # local_csr pytree (prefix spec: dim0 of every leaf)
             P(axis),  # interior_csr
             P(axis),  # frontier_csr
             P(axis),  # interior_blocked dict ({} when unused)
             P(axis),  # frontier_blocked dict
-            P(axis, None),  # h rows
+            P(axis),  # edge weights (stacked shard-local) or placeholder
+            P(axis, *([None] * (h.ndim - 1))),  # h rows
         ),
-        out_specs=P(axis, None),
+        out_specs=P(axis, *([None] * (h.ndim - 1))),
         # pallas_call does not yet annotate varying-mesh-axes metadata.
         check_vma=not use_pallas,
     )
-    def _fwd(send_idx, local_csr, interior_csr, frontier_csr, ib, fb, h_local):
-        send_idx = send_idx[0]  # (P, K) — leading shard dim of size 1
-        # 1. halo send buffer: rows other shards asked for.
-        send = h_local[send_idx]  # (P, K, F)
-        # 2. exchange over ICI. split/concat on the shard axis.
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    def _fwd(send_idx_by_d, local_csr, interior_csr, frontier_csr, ib, fb,
+             w_local, h_local):
+        if multihead:
+            h2 = h_local.reshape(h_local.shape[0], heads * f)
+        else:
+            h2 = h_local
+        recv = _halo_exchange(dg, axis, send_idx_by_d, h2)
         if use_pallas:
             from stgraph_tpu.ops.spmm_pallas import segment_sum_blocked
 
@@ -156,41 +245,127 @@ def dist_spmm(
                 # d(segment-sum)/d(gathered)[e] is just g[dst_e] (zero on
                 # sentinels). The feats gather below transposes to a
                 # scatter-add by JAX, and shard_map transposes the
-                # all_to_all — so the whole distributed backward is
+                # ppermutes — so the whole distributed backward is
                 # synthesized from this one rule.
                 @jax.custom_vjp
-                def seg(gathered):
+                def sg(gathered):
                     return segment_sum_blocked(blk, ones, gathered, interpret)
 
-                def seg_fwd(gathered):
-                    return seg(gathered), ()
+                def sg_fwd(gathered):
+                    return sg(gathered), ()
 
-                def seg_bwd(_, g):
+                def sg_bwd(_, g):
                     dgath = g[jnp.clip(blk.dst, 0, ns - 1)]
                     dgath = jnp.where((blk.dst < ns)[:, None], dgath, 0.0)
                     return (dgath,)
 
-                seg.defvjp(seg_fwd, seg_bwd)
+                sg.defvjp(sg_fwd, sg_bwd)
                 # segment_sum_blocked already slices to (ns, F).
-                return seg(feats_src[blk.cols])
+                return sg(feats_src[blk.cols])
 
-            interior = reduce_blocked(ib, h_local)
-            frontier = reduce_blocked(fb, recv.reshape(p * k, f))
+            interior = reduce_blocked(ib, h2)
+            frontier = reduce_blocked(fb, recv)
             return interior + frontier
+        if weighted:
+            # Single widened reduction with per-edge weights in local CSR
+            # order; the ppermutes still overlap nothing here — acceptable:
+            # the weighted path exists for correctness-parity (GCN edge
+            # weights) and GAT, whose coefficients live per shard anyway.
+            buf = jnp.concatenate([h2, recv], axis=0)
+            csr = _unstack_csr(local_csr)
+            w = w_local[0]
+            msg = buf[csr.cols]
+            if multihead:
+                msg = msg.reshape(msg.shape[0], heads, f) * w[..., None]
+                msg = msg.reshape(msg.shape[0], heads * f)
+            else:
+                msg = msg * w.reshape(-1, 1)
+            out = seg.segment_sum(msg, csr.rows, ns, edge_mask=csr.edge_mask)
+            if multihead:
+                out = out.reshape(ns, heads, f)
+            return out
         if overlap:
-            # 3a. interior reduction — independent of the collective, so it
-            # executes between all_to_all-start and -done.
-            interior = M.spmm(_unstack_csr(interior_csr), h_local, impl="jnp")
-            # 3b. frontier reduction over the received halo buffer.
-            frontier = M.spmm(
-                _unstack_csr(frontier_csr), recv.reshape(p * k, f), impl="jnp"
-            )
+            # interior reduction — independent of the collectives, so it
+            # executes between ppermute-start and -done.
+            interior = M.spmm(_unstack_csr(interior_csr), h2, impl="jnp")
+            frontier = M.spmm(_unstack_csr(frontier_csr), recv, impl="jnp")
             return interior + frontier
-        buf = jnp.concatenate([h_local, recv.reshape(p * k, f)], axis=0)
+        buf = jnp.concatenate([h2, recv], axis=0)
         return M.spmm(_unstack_csr(local_csr), buf, impl="jnp")
 
     ib = dg.interior_blocked if use_pallas else {}
     fb = dg.frontier_blocked if use_pallas else {}
     return _fwd(
-        dg.send_idx, dg.local_csr, dg.interior_csr, dg.frontier_csr, ib, fb, h
+        dg.send_idx_by_d, dg.local_csr, dg.interior_csr, dg.frontier_csr,
+        ib, fb, ew, h,
     )
+
+
+def dist_gat_attention(
+    mesh: Mesh,
+    dg: DistGraph,
+    el: jnp.ndarray,  # (P·Ns, H) source-side scores, node-sharded
+    er: jnp.ndarray,  # (P·Ns, H) destination-side scores, node-sharded
+    feat_src: jnp.ndarray,  # (P·Ns, H, F) node-sharded
+    negative_slope: float = 0.2,
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """Edge-partitioned GAT attention: one fused halo exchange, then a
+    fully shard-local segment softmax + weighted aggregation.
+
+    Because shards own DESTINATION ranges, every node's complete
+    in-neighborhood lives on one shard: the stability max, the softmax
+    normalizer, and the weighted sum are all local — the only
+    communication is the ``[feat_src | el]`` halo (el rides the feature
+    exchange as H extra columns, amortized into the same ppermute steps).
+    The backward (through JAX autodiff of this shard_map) reverses the
+    ppermutes for the gradient halo reduction. Net-new vs the reference
+    (single-GPU only); north star: BASELINE "scaling efficiency >= 0.9".
+    """
+    ns, p = dg.nodes_per_shard, dg.num_shards
+    h = el.shape[-1]
+    f = feat_src.shape[-1]
+    slope = negative_slope
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(P(axis) for _ in dg.send_idx_by_d),
+            P(axis),  # local_csr
+            P(axis, None),  # el
+            P(axis, None),  # er
+            P(axis, None, None),  # feat_src
+        ),
+        out_specs=P(axis, None, None),
+    )
+    def _fwd(send_idx_by_d, local_csr, el_l, er_l, fs_l):
+        c = jax.tree_util.tree_map(lambda x: x[0], local_csr)
+        csr = CSR(
+            indptr=c.indptr, rows=c.rows, cols=c.cols, eids=c.eids,
+            num_nodes=ns, num_edges=c.num_edges,
+        )
+        fs2 = fs_l.reshape(ns, h * f)
+        # ONE fused exchange: [features | el] per halo row.
+        packed = jnp.concatenate([fs2, el_l], axis=1)
+        recv = _halo_exchange(dg, axis, send_idx_by_d, packed)
+        fs_wide = jnp.concatenate([fs2, recv[:, : h * f]], axis=0)
+        el_wide = jnp.concatenate([el_l, recv[:, h * f :]], axis=0)
+
+        rows_c = jnp.minimum(csr.rows, ns - 1)
+        emask = (csr.rows < ns).astype(jnp.float32)
+        s = el_wide[csr.cols] + er_l[rows_c]  # (cap, H); cols clamp via jnp
+        s = jnp.where(s >= 0, s, slope * s)
+        m = seg.segment_max(s, csr.rows, ns, edge_mask=csr.rows < ns)
+        w = jnp.exp(s - m[rows_c]) * emask[:, None]
+        denom = jnp.maximum(
+            seg.segment_sum(w, csr.rows, ns, edge_mask=csr.rows < ns),
+            jnp.finfo(jnp.float32).tiny,
+        )
+        msg = fs_wide[csr.cols].reshape(-1, h, f) * w[..., None]
+        u = seg.segment_sum(
+            msg.reshape(-1, h * f), csr.rows, ns, edge_mask=csr.rows < ns
+        ).reshape(ns, h, f)
+        return u / denom[:, :, None]
+
+    return _fwd(dg.send_idx_by_d, dg.local_csr, el, er, feat_src)

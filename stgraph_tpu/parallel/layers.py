@@ -15,10 +15,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from stgraph_tpu.parallel.halo import dist_spmm
+from stgraph_tpu.parallel.halo import dist_gat_attention, dist_spmm
 from stgraph_tpu.parallel.partition import DistGraph
 
-__all__ = ["dist_gcn_conv", "dist_tgcn_cell", "dist_gcn_params", "dist_tgcn_params"]
+__all__ = [
+    "dist_gcn_conv",
+    "dist_tgcn_cell",
+    "dist_gat_conv",
+    "dist_gcn_params",
+    "dist_tgcn_params",
+    "dist_gat_params",
+]
 
 
 def dist_gcn_params(key, in_feats: int, out_feats: int, dtype=jnp.float32) -> Dict:
@@ -48,6 +55,56 @@ def dist_gcn_conv(
     h = dist_spmm(mesh, dg, h * norm) * norm
     h = h + params["bias"]
     return activation(h) if activation is not None else h
+
+
+def dist_gat_params(
+    key, in_feats: int, out_feats: int, num_heads: int, dtype=jnp.float32
+) -> Dict:
+    """Xavier-initialized replicated GAT parameters (mirrors nn.GATConv)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = (6.0 / (in_feats + num_heads * out_feats)) ** 0.5
+    fc = jax.random.uniform(
+        k1, (in_feats, num_heads * out_feats), dtype, -scale, scale
+    )
+    a_scale = (6.0 / (out_feats + 1)) ** 0.5
+    attn_l = jax.random.uniform(
+        k2, (num_heads, out_feats), dtype, -a_scale, a_scale
+    )
+    attn_r = jax.random.uniform(
+        k3, (num_heads, out_feats), dtype, -a_scale, a_scale
+    )
+    return {
+        "fc": fc,
+        "attn_l": attn_l,
+        "attn_r": attn_r,
+        "bias": jnp.zeros((num_heads * out_feats,), dtype),
+    }
+
+
+def dist_gat_conv(
+    mesh: Mesh,
+    dg: DistGraph,
+    params: Dict,
+    h: jnp.ndarray,
+    negative_slope: float = 0.2,
+    activation=None,
+) -> jnp.ndarray:
+    """One GAT layer over the mesh: local projection + scores, ONE fused
+    halo exchange of [features | el], shard-local segment softmax and
+    weighted aggregation (``dist_gat_attention``). Returns (rows, H, F).
+    """
+    heads, out_feats = params["attn_l"].shape
+    fs = jnp.dot(h, params["fc"], preferred_element_type=jnp.float32).astype(
+        h.dtype
+    )
+    fs = fs.reshape(h.shape[0], heads, out_feats)
+    el = jnp.sum(fs * params["attn_l"][None], axis=-1)  # (rows, H)
+    er = jnp.sum(fs * params["attn_r"][None], axis=-1)
+    out = dist_gat_attention(
+        mesh, dg, el, er, fs, negative_slope=negative_slope
+    )
+    out = out + params["bias"].reshape(1, heads, out_feats)
+    return activation(out) if activation is not None else out
 
 
 def dist_tgcn_params(key, in_feats: int, out_feats: int, dtype=jnp.float32) -> Dict:

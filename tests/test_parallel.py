@@ -228,3 +228,146 @@ def test_dist_spmm_pallas_grads_match_jnp(rng):
     np.testing.assert_allclose(
         np.asarray(g_pl), np.asarray(g_j), rtol=1e-4, atol=1e-4
     )
+
+
+def test_dist_spmm_weighted_matches_dense(rng):
+    """Weighted dist_spmm (per-edge data routed via global-edge-id maps)
+    == dense weighted aggregation."""
+    from stgraph_tpu.parallel import shard_edge_array
+
+    n, e, p, f = 96, 400, 4, 6
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.standard_normal(e).astype(np.float32)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = rng.standard_normal((n, f)).astype(np.float32)
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+    ws = shard_edge_array(mesh, jnp.asarray(w), dg, "local")
+    out = np.asarray(
+        jax.jit(lambda x, ww: dist_spmm(mesh, dg, x, edge_weight=ww))(hs, ws)
+    )[:n]
+    a = np.zeros((n, n), np.float32)
+    for i, (s, d) in enumerate(zip(src, dst)):
+        a[d, s] += w[i]
+    np.testing.assert_allclose(out, a @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_multihead_weighted(rng):
+    """(P·Ns, H, F) features with per-edge-per-head weights == per-head
+    dense oracle."""
+    from stgraph_tpu.parallel import shard_edge_array
+
+    n, e, p, heads, f = 64, 300, 4, 3, 5
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.standard_normal((e, heads)).astype(np.float32)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = rng.standard_normal((n, heads, f)).astype(np.float32)
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+    ws = shard_edge_array(mesh, jnp.asarray(w), dg, "local")
+    out = np.asarray(
+        jax.jit(lambda x, ww: dist_spmm(mesh, dg, x, edge_weight=ww))(hs, ws)
+    )[:n]
+    want = np.zeros((n, heads, f), np.float32)
+    for i, (s, d) in enumerate(zip(src, dst)):
+        want[d] += w[i][:, None] * h[s]
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_gat_matches_local_oracle(rng):
+    """dist_gat_attention == the single-device dense GAT attention oracle,
+    values AND gradients (VERDICT round-1 item 3's done-criterion)."""
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops.attention import dense_gat_attention
+    from stgraph_tpu.parallel import dist_gat_attention
+
+    n, e, p, heads, f = 96, 500, 4, 2, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    csr = build_csr(src, dst, n)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    el = rng.standard_normal((n, heads)).astype(np.float32)
+    er = rng.standard_normal((n, heads)).astype(np.float32)
+    fs = rng.standard_normal((n, heads, f)).astype(np.float32)
+    els = shard_node_array(mesh, jnp.asarray(el), dg)
+    ers = shard_node_array(mesh, jnp.asarray(er), dg)
+    fss = shard_node_array(mesh, jnp.asarray(fs), dg)
+
+    out = np.asarray(
+        jax.jit(lambda a, b, c: dist_gat_attention(mesh, dg, a, b, c))(
+            els, ers, fss
+        )
+    )[:n]
+    want = np.asarray(
+        dense_gat_attention(
+            csr, jnp.asarray(el)[..., None], jnp.asarray(er)[..., None],
+            jnp.asarray(fs),
+        )
+    )
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    # gradients (halo transpose synthesized by JAX through the ppermutes)
+    gref = jnp.asarray(rng.standard_normal((dg.padded_nodes, heads, f)), jnp.float32)
+
+    def loss_dist(a, b, c):
+        return jnp.sum(dist_gat_attention(mesh, dg, a, b, c) * gref)
+
+    def loss_dense(a, b, c):
+        return jnp.sum(
+            dense_gat_attention(csr, a[..., None], b[..., None], c)
+            * gref[:n]
+        )
+
+    gd = jax.jit(jax.grad(loss_dist, argnums=(0, 1, 2)))(els, ers, fss)
+    gl = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        jnp.asarray(el), jnp.asarray(er), jnp.asarray(fs)
+    )
+    for got, want_g in zip(gd, gl):
+        np.testing.assert_allclose(
+            np.asarray(got)[:n], np.asarray(want_g), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_dist_gat_conv_runs(rng):
+    """Full distributed GAT layer executes and returns finite output."""
+    from stgraph_tpu.parallel import dist_gat_conv, dist_gat_params
+
+    n, e, p = 64, 300, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    h = rng.standard_normal((n, 8)).astype(np.float32)
+    hs = shard_node_array(mesh, jnp.asarray(h), dg)
+    params = dist_gat_params(jax.random.key(0), 8, 4, num_heads=2)
+    out = jax.jit(lambda x: dist_gat_conv(mesh, dg, params, x))(hs)
+    assert out.shape == (dg.padded_nodes, 2, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_per_pair_halo_comm_volume(rng):
+    """Per-displacement halo sizing ships no more than the old global-max
+    all_to_all, and strictly less on a skewed graph."""
+    n, p = 400, 8
+    ns = -(-n // p)
+    # Locality-skewed: almost all cross-shard edges connect ADJACENT shard
+    # ranges (displacement 1) — the common case after any locality-aware
+    # node ordering — plus a sprinkle of long-range edges.
+    dst = rng.integers(0, n, 2000)
+    src = np.minimum(
+        (dst // ns - 1) * ns + rng.integers(0, ns, 2000), n - 1
+    ).clip(0)
+    extra_s = rng.integers(0, n, 40)
+    extra_d = rng.integers(0, n, 40)
+    dg = partition_edges(
+        np.concatenate([src, extra_s]), np.concatenate([dst, extra_d]), n, p
+    )
+    per_d = [s.shape[1] for s in dg.send_idx_by_d]
+    global_max = max(per_d)
+    assert sum(per_d) == dg.halo_total
+    assert dg.halo_total <= (p - 1) * global_max
+    # Skew means most displacements need far less than the max.
+    assert dg.halo_total < 0.8 * (p - 1) * global_max
