@@ -73,21 +73,43 @@ def run_once(num_devices: int, args) -> dict:
     mesh = Mesh(np.asarray(devices), ("graph",))
 
     rng = np.random.default_rng(0)
-    n, e, f, hidden, classes = args.nodes, args.edges, args.feat, args.hidden, 16
-    # Power-law-ish sources (hubs), uniform destinations.
-    src = (n * rng.power(2.5, e)).astype(np.int64) % n
-    dst = rng.integers(0, n, e)
+    hidden = args.hidden
+    if args.dataset:
+        # OGB loader: real files when present, scale-faithful synthetic
+        # otherwise (prints which — synthetic numbers must be labeled).
+        from stgraph_tpu.dataset import OgbNodeDataLoader
+
+        d = OgbNodeDataLoader(args.dataset, scale=args.scale)
+        print(
+            f"dataset {args.dataset} "
+            f"({'SYNTHETIC fallback' if d.synthetic else 'real files'}): "
+            f"{d.gdata}"
+        )
+        n = d.gdata["num_nodes"]
+        e = d.gdata["num_edges"]
+        f = d.gdata["num_feats"]
+        classes = d.gdata["num_classes"]
+        edges = d.get_edges()
+        src, dst = edges[:, 0], edges[:, 1]
+        feats = d.get_all_features()
+        labels = d.get_all_targets()
+    else:
+        n, e, f, classes = args.nodes, args.edges, args.feat, 16
+        # Power-law-ish sources (hubs), uniform destinations.
+        src = (n * rng.power(2.5, e)).astype(np.int64) % n
+        dst = rng.integers(0, n, e)
+        feats = rng.standard_normal((n, f)).astype(np.float32)
+        labels = rng.integers(0, classes, n)
 
     t0 = time.perf_counter()
     dg = partition_edges(src, dst, n, num_devices)
     partition_s = time.perf_counter() - t0
 
-    x = shard_node_array(
-        mesh, jnp.asarray(rng.standard_normal((n, f)), jnp.float32), dg
-    )
+    x = shard_node_array(mesh, jnp.asarray(feats, jnp.float32), dg)
+    y_pad = np.zeros(dg.padded_nodes, np.int64)
+    y_pad[:n] = labels
     y = jax.device_put(
-        jnp.asarray(rng.integers(0, classes, dg.padded_nodes)),
-        NamedSharding(mesh, P("graph")),
+        jnp.asarray(y_pad), NamedSharding(mesh, P("graph"))
     )
     norm = shard_node_array(
         mesh, jnp.asarray(rng.random((n, 1)) + 0.5, jnp.float32), dg
@@ -126,7 +148,7 @@ def run_once(num_devices: int, args) -> dict:
         "devices": num_devices,
         "step_s": dt,
         "edges_per_s": e / dt,
-        "halo_K": dg.halo_size,
+        "halo_rows": dg.halo_total,
         "partition_s": partition_s,
         "loss": float(loss),
     }
@@ -142,6 +164,12 @@ def main() -> None:
                     help="GCN depth (BASELINE config: 3-layer)")
     ap.add_argument("--preset", default=None, choices=[None, "ogbn-products"],
                     help="ogbn-products scale: N=2.45M, E=61.9M, F=100")
+    ap.add_argument("--dataset", default=None,
+                    choices=[None, "ogbn-products", "ogbn-arxiv"],
+                    help="load an OGB dataset (local files, or a "
+                         "scale-faithful synthetic fallback)")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="synthetic-fallback shrink factor for --dataset")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--device-counts", default="1,2,4,8")
     ap.add_argument(
@@ -170,7 +198,7 @@ def main() -> None:
     counts = [int(c) for c in args.device_counts.split(",")]
     dt = DataTable(
         f"distributed GCN step (N={args.nodes}, E={args.edges}, F={args.feat})",
-        ["devices", "step_ms", "edges/s", "speedup", "halo_K", "partition_s"],
+        ["devices", "step_ms", "edges/s", "speedup", "halo_rows", "partition_s"],
     )
     base = None
     for c in counts:
@@ -183,7 +211,7 @@ def main() -> None:
                 f"{r['step_s'] * 1e3:.2f}",
                 f"{r['edges_per_s']:.3g}",
                 f"{base / r['step_s']:.2f}x",
-                r["halo_K"],
+                r["halo_rows"],
                 f"{r['partition_s']:.2f}",
             ]
         )

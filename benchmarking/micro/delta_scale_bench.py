@@ -1,0 +1,149 @@
+"""Dynamic-graph update cost at wiki-talk scale (2M-edge capacity).
+
+The reference's DTDG sweeps run PCSR/GPMA on sx-mathoverflow and
+wiki-talk-temporal (~2M edges) with slide-size variations
+(``benchmarking/dynamic-bench.sh``). This microbench mirrors that regime
+for the TPU-native ``apply_delta``: a 2M-edge-capacity store replaying
+per-timestep deltas of ``--slide`` edges inside a jitted ``lax.scan``,
+against the round-1 algorithm (three full-capacity stable argsorts) as the
+baseline. Prints per-timestep structure-update cost for both.
+
+Usage: python benchmarking/micro/delta_scale_bench.py [--cap 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+
+import numpy as np
+
+
+def _legacy_apply_delta(store, add_rows, add_cols, del_rows, del_cols):
+    """Round-1 algorithm: three full-capacity lexicographic sorts."""
+    import jax.numpy as jnp
+
+    from stgraph_tpu.graph.delta_graph import EdgeStore
+
+    n = store.num_nodes
+
+    def lexsort_rc(rows, cols):
+        o1 = jnp.argsort(cols, stable=True)
+        return o1[jnp.argsort(rows[o1], stable=True)]
+
+    rows = jnp.concatenate([store.rows, add_rows, del_rows])
+    cols = jnp.concatenate([store.cols, add_cols, del_cols])
+    tomb = jnp.concatenate(
+        [
+            jnp.zeros(store.rows.shape[0] + add_rows.shape[0], jnp.bool_),
+            jnp.ones(del_rows.shape[0], jnp.bool_),
+        ]
+    )
+    order = lexsort_rc(rows, cols)
+    rows, cols, tomb = rows[order], cols[order], tomb[order]
+    nxt_tomb = jnp.concatenate([tomb[1:], jnp.zeros((1,), jnp.bool_)])
+    same = jnp.concatenate(
+        [(rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1]),
+         jnp.zeros((1,), jnp.bool_)]
+    )
+    dead = tomb | (nxt_tomb & same & ~tomb)
+    rows = jnp.where(dead, n, rows)
+    cols = jnp.where(dead, n, cols)
+    order = lexsort_rc(rows, cols)
+    capacity = store.rows.shape[0]
+    rows, cols = rows[order][:capacity], cols[order][:capacity]
+    return EdgeStore(
+        rows=rows, cols=cols,
+        num_edges=jnp.sum((rows < n).astype(jnp.int32)),
+        num_nodes=n,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=int, default=2_000_000)
+    ap.add_argument("--nodes", type=int, default=1_100_000)
+    ap.add_argument("--slide", type=int, default=10_000)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--skip-legacy", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from benchmarking.micro._timing import readback_rtt
+    from stgraph_tpu.graph.delta_graph import EdgeStore, apply_delta
+
+    n, cap, d, t_steps = args.nodes, args.cap, args.slide, args.steps
+    rng = np.random.default_rng(0)
+
+    # Initial store: cap-8d edges, sorted.
+    e0 = cap - 8 * d
+    keys = np.unique(
+        rng.integers(0, n, e0 * 2).astype(np.int64) * n
+        + rng.integers(0, n, e0 * 2)
+    )[:e0]
+    rows0 = np.full(cap, n, np.int32)
+    cols0 = np.full(cap, n, np.int32)
+    rows0[:e0] = (keys // n).astype(np.int32)
+    cols0[:e0] = (keys % n).astype(np.int32)
+
+    # Per-step deltas: delete `d` existing edges, add `d` fresh ones.
+    adds = np.full((t_steps, d, 2), n, np.int32)
+    dels = np.full((t_steps, d, 2), n, np.int32)
+    for t in range(t_steps):
+        sel = rng.choice(e0, d, replace=False)
+        dels[t, :, 0] = rows0[sel]
+        dels[t, :, 1] = cols0[sel]
+        # fresh adds (won't collide with the uniform sample, whp)
+        adds[t, :, 0] = rng.integers(0, n, d)
+        adds[t, :, 1] = rng.integers(0, n, d)
+    # NOTE: this bench measures structure-update COST; the randomized adds
+    # may rarely collide with existing edges — irrelevant for timing.
+
+    def bench(fn, label):
+        @jax.jit
+        def run(rows, cols, ne):
+            def body(carry, xs):
+                r, c, k = carry
+                a, dl = xs
+                s = fn(
+                    EdgeStore(r, c, k, n),
+                    a[:, 0], a[:, 1], dl[:, 0], dl[:, 1],
+                )
+                return (s.rows, s.cols, s.num_edges), s.num_edges
+
+            (_, _, ne2), counts = jax.lax.scan(
+                body, (rows, cols, ne), (jnp.asarray(adds), jnp.asarray(dels))
+            )
+            return ne2
+
+        r0 = jnp.asarray(rows0)
+        c0 = jnp.asarray(cols0)
+        ne0 = jnp.asarray(np.int32(e0))
+        t0 = time.perf_counter()
+        v = int(run(r0, c0, ne0))
+        print(f"{label}: compile+run1 {time.perf_counter()-t0:.1f}s", flush=True)
+        rtt = readback_rtt()
+        t0 = time.perf_counter()
+        v = int(run(r0, c0, ne0))
+        dt = (time.perf_counter() - t0 - rtt) / t_steps
+        print(
+            f"{label}: {dt*1e3:.2f} ms/timestep "
+            f"(cap={cap}, slide={d}, final edges={v})",
+            flush=True,
+        )
+        return dt
+
+    dt_new = bench(apply_delta, "merge-based apply_delta   ")
+    if not args.skip_legacy:
+        dt_old = bench(_legacy_apply_delta, "legacy 3x-argsort baseline")
+        print(f"speedup: {dt_old/dt_new:.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ from stgraph_tpu.dataset.england_covid_dataloader import EnglandCovidDataLoader
 from stgraph_tpu.dataset.hungarycp_dataloader import HungaryCPDataLoader
 from stgraph_tpu.dataset.metrla_dataloader import METRLADataLoader
 from stgraph_tpu.dataset.montevideobus_dataloader import MontevideoBusDataLoader
+from stgraph_tpu.dataset.ogb_dataloader import OgbNodeDataLoader
 from stgraph_tpu.dataset.pedalme_dataloader import PedalMeDataLoader
 from stgraph_tpu.dataset.pubmed_dataloader import PubmedDataLoader
 from stgraph_tpu.dataset.wikimath_dataloader import WikiMathDataLoader
@@ -27,6 +28,7 @@ __all__ = [
     "HungaryCPDataLoader",
     "METRLADataLoader",
     "MontevideoBusDataLoader",
+    "OgbNodeDataLoader",
     "PedalMeDataLoader",
     "PubmedDataLoader",
     "STGraphDataset",

@@ -1,0 +1,167 @@
+"""OGB node-property dataset loader (ogbn-products and friends).
+
+The reference has no OGB support; BASELINE config 5 requires a 3-layer GCN
+on **ogbn-products** (2,449,029 nodes / 61,859,140 undirected edges =
+123,718,280 directed, 100-dim features, 47 classes) edge-partitioned
+across devices. This loader reads the standard OGB on-disk layouts:
+
+  * ``<root>/ogbn_products/raw/{edge.csv.gz, node-feat.csv.gz,
+    node-label.csv.gz}`` (the format ``ogb.nodeproppred`` downloads), or
+  * a preprocessed ``<root>/<name>.npz`` with keys ``edge_index`` (2, E),
+    ``node_feat`` (N, F), ``labels`` (N,) — much faster to parse, written
+    back automatically after a CSV load;
+
+and, when neither exists (this environment has no network egress), falls
+back to a **scale-faithful synthetic graph**: the exact node/edge/feature/
+class counts with a Chung-Lu power-law degree profile (alpha ~ 2.3 — the
+published ogbn-products degree exponent) and community-correlated features
+so a GCN trains meaningfully. ``self.synthetic`` reports which path ran;
+benchmarks must print it so synthetic numbers are never mistaken for real
+ones.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["OgbNodeDataLoader", "OGBN_PRODUCTS_STATS"]
+
+# name -> (num_nodes, num_directed_edges, num_feats, num_classes)
+OGBN_PRODUCTS_STATS = (2_449_029, 123_718_280, 100, 47)
+_KNOWN = {
+    "ogbn-products": OGBN_PRODUCTS_STATS,
+    "ogbn-arxiv": (169_343, 1_166_243, 128, 40),
+}
+
+
+class OgbNodeDataLoader:
+    """OGB node-classification graphs from local files or synthesis.
+
+    Args:
+      name: OGB dataset name (``ogbn-products``, ``ogbn-arxiv``).
+      root: directory holding either ``<name>.npz`` or the OGB raw layout
+        (default ``~/.stgraph/dataset_cache/ogb``).
+      scale: shrink factor for the synthetic fallback (1.0 = full size);
+        lets tests exercise the exact code path in seconds.
+      allow_synthetic: raise instead of synthesizing when False.
+    """
+
+    def __init__(
+        self,
+        name: str = "ogbn-products",
+        root: Optional[str] = None,
+        scale: float = 1.0,
+        allow_synthetic: bool = True,
+        seed: int = 0,
+    ) -> None:
+        if name not in _KNOWN:
+            raise ValueError(f"unknown OGB dataset {name!r}")
+        self.name = name
+        self.synthetic = False
+        self.gdata: Dict[str, Any] = {}
+        root = root or os.path.join(
+            os.path.expanduser("~"), ".stgraph", "dataset_cache", "ogb"
+        )
+        self._root = root
+        npz = os.path.join(root, f"{name}.npz")
+        rawdir = os.path.join(root, name.replace("-", "_"), "raw")
+        if os.path.exists(npz):
+            data = np.load(npz)
+            self._edge_index = data["edge_index"].astype(np.int64)
+            self._feat = data["node_feat"].astype(np.float32)
+            self._labels = data["labels"].astype(np.int64).reshape(-1)
+        elif os.path.isdir(rawdir):
+            self._edge_index, self._feat, self._labels = self._load_raw(rawdir)
+            os.makedirs(root, exist_ok=True)
+            np.savez(
+                npz,
+                edge_index=self._edge_index,
+                node_feat=self._feat,
+                labels=self._labels,
+            )
+        elif allow_synthetic:
+            self.synthetic = True
+            self._edge_index, self._feat, self._labels = self._synthesize(
+                *_KNOWN[name], scale=scale, seed=seed
+            )
+        else:
+            raise FileNotFoundError(
+                f"no OGB data at {npz} or {rawdir} and allow_synthetic=False"
+            )
+        n = int(self._feat.shape[0])
+        self.gdata = {
+            "num_nodes": n,
+            "num_edges": int(self._edge_index.shape[1]),
+            "num_feats": int(self._feat.shape[1]),
+            "num_classes": int(self._labels.max()) + 1,
+        }
+
+    # -- real data ---------------------------------------------------------
+    @staticmethod
+    def _load_raw(rawdir: str):
+        """Parse OGB's raw CSV layout (edge.csv.gz etc.)."""
+
+        def read_csv_gz(fname, dtype):
+            path = os.path.join(rawdir, fname)
+            with gzip.open(path, "rt") as fh:
+                return np.loadtxt(fh, delimiter=",", dtype=dtype)
+
+        edges = read_csv_gz("edge.csv.gz", np.int64)  # (E_undirected, 2)
+        feat = read_csv_gz("node-feat.csv.gz", np.float32)
+        labels = read_csv_gz("node-label.csv.gz", np.int64).reshape(-1)
+        # OGB node graphs are undirected: symmetrize to directed edges.
+        edge_index = np.concatenate([edges, edges[:, ::-1]], axis=0).T
+        return edge_index.astype(np.int64), feat, labels
+
+    # -- synthetic fallback --------------------------------------------------
+    @staticmethod
+    def _synthesize(
+        n: int, e: int, f: int, classes: int, scale: float, seed: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Chung-Lu power-law graph with community-correlated features.
+
+        Degree weights w_i ∝ i^(-1/(alpha-1)) with alpha=2.3 reproduce the
+        heavy-tailed profile; endpoints are drawn proportionally to the
+        weights (expected degree ∝ w), which preserves the hub structure
+        that makes edge-partition balancing and halo sizing interesting.
+        """
+        rng = np.random.default_rng(seed)
+        n = max(int(n * scale), 64)
+        e = max(int(e * scale), 256)
+        alpha = 2.3
+        w = (np.arange(1, n + 1, dtype=np.float64)) ** (-1.0 / (alpha - 1.0))
+        cdf = np.cumsum(w)
+        cdf /= cdf[-1]
+        # Hub ids are shuffled so node id does not encode degree (partition
+        # balance must not come for free).
+        perm = rng.permutation(n)
+        src = perm[np.searchsorted(cdf, rng.random(e))]
+        dst = perm[np.searchsorted(cdf, rng.random(e))]
+        edge_index = np.stack([src, dst]).astype(np.int64)
+        labels = rng.integers(0, classes, n)
+        # Features: class centroid + noise (float16 storage halves host RAM
+        # at the 2.4M x 100 full scale; consumers cast as needed).
+        centroids = rng.standard_normal((classes, f)).astype(np.float32)
+        feat = centroids[labels] + 0.5 * rng.standard_normal(
+            (n, f)
+        ).astype(np.float32)
+        return edge_index, feat.astype(np.float32), labels.astype(np.int64)
+
+    # -- accessors (reference-style) ----------------------------------------
+    def get_edges(self) -> np.ndarray:
+        """(E, 2) directed (src, dst) pairs."""
+        return self._edge_index.T
+
+    def get_edge_index(self) -> np.ndarray:
+        """(2, E) directed edge index."""
+        return self._edge_index
+
+    def get_all_features(self) -> np.ndarray:
+        return self._feat
+
+    def get_all_targets(self) -> np.ndarray:
+        return self._labels

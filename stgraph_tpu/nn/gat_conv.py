@@ -63,6 +63,19 @@ class GATConv(fnn.Module):
             feat.dtype,
         )
 
+        if self.attn_drop:
+            # The reference declares attn_drop and never applies it
+            # (gat_conv.py:25 creates the module; forward never calls it) —
+            # silently training different math than asked. We reject the
+            # knob instead: applying dropout to the NORMALIZED coefficients
+            # (DGL semantics) would force the softmax denominator out of
+            # the fused aggregation pass (ops/attention.py with_denom) for
+            # a knob the reference itself never honored. Use feat_drop, or
+            # open an issue if true attention dropout is needed.
+            raise NotImplementedError(
+                "attn_drop is not supported (the reference's own attn_drop "
+                "is dead code); use feat_drop instead"
+            )
         h = fnn.Dropout(self.feat_drop, deterministic=deterministic)(feat)
         feat_src = fc(h).reshape(-1, self.num_heads, self.out_feats)
         # Per-head scalar scores (N, H, 1): the halves of the GAT logit.

@@ -867,6 +867,7 @@ def spmm_rowmask(
     with_denom: bool = False,
     interpret: bool = False,
     stream_dtype=None,
+    src_ids: Optional[jnp.ndarray] = None,
 ):
     """out[d] = sum_e w[e, h] * node_feats[src_e, h-lanes] — fused weighted
     multihead SpMM reading CSR order directly through positional row masks.
@@ -933,19 +934,32 @@ def spmm_rowmask(
     # the whole (E, F) plane — gigabytes at scale). One shared constant,
     # sliced in-program per segment: per-segment numpy slices would each
     # embed into the lowered module and blow past remote-compile size
-    # limits at ogbn scale.
-    cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
+    # limits at ogbn scale. At 1e8+ edges even the ONE constant exceeds
+    # the relay's request limit (HTTP 413 at ~500 MB) — callers there pass
+    # the ids as a jit ARGUMENT via ``src_ids``.
+    if src_ids is not None:
+        ids = jnp.minimum(
+            jnp.asarray(src_ids, jnp.int32).reshape(-1), jnp.int32(n - 1)
+        )
+        cols_pad = jnp.pad(ids, (0, meta.cap_pad - cap))
+    else:
+        cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
 
     bs3 = meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)
     be3 = meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)
 
-    def _meta_slice(b0, nb_seg, lo):
+    def _meta_slice(b0, nb_seg, lo, span):
         """Numpy meta arrays for blocks [b0, b0+nb_seg), padded with empty
-        blocks past the end, chunk starts re-based to ``lo``."""
+        blocks past the end, chunk starts re-based to ``lo``; chunk ranges
+        are clamped to the segment span (straggler blocks from the next
+        segment would otherwise DMA out of the sliced arrays' bounds —
+        faults on real hardware)."""
         b1 = min(b0 + nb_seg, meta.num_blocks)
         pad = nb_seg - (b1 - b0)
         astart = np.pad(meta.astart[b0:b1] - np.int32(lo), (0, pad))
         nchunks = np.pad(meta.nchunks[b0:b1], (0, pad))
+        room = np.maximum(span - astart, 0) // EDGE_CHUNK
+        nchunks = np.minimum(nchunks, room).astype(np.int32)
         bs_s = np.pad(bs3[b0:b1], ((0, pad), (0, 0), (0, 0)))
         be_s = np.pad(be3[b0:b1], ((0, pad), (0, 0), (0, 0)))
         return astart, nchunks, bs_s, be_s
@@ -955,7 +969,7 @@ def spmm_rowmask(
         CSR positions [lo, hi) — the gathered-feature plane for one segment
         stays under ``_SEGMENT_BYTES`` regardless of graph size."""
         nb_seg = b1 - b0
-        astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo)
+        astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo, hi - lo)
         seg_cols = jax.lax.slice(cols_pad, (lo,), (hi,))
         # Gather from the ORIGINAL dtype table, cast on the output: the
         # random reads are transaction-bound (row payload width is free),
@@ -1239,6 +1253,7 @@ def spmm_rowmask_bwd(
     heads: int = 1,
     interpret: bool = False,
     stream_dtype=None,
+    src_ids: Optional[jnp.ndarray] = None,
 ):
     """Fused backward for the rowmask SpMM: ``(dh, dw)`` in one kernel pass.
 
@@ -1271,7 +1286,13 @@ def spmm_rowmask_bwd(
         )
     _, rows_np, cols_np, _ = csr.host_arrays()
     cols_c = np.minimum(cols_np, n - 1)
-    cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
+    if src_ids is not None:
+        ids = jnp.minimum(
+            jnp.asarray(src_ids, jnp.int32).reshape(-1), jnp.int32(n - 1)
+        )
+        cols_pad = jnp.pad(ids, (0, meta.cap_pad - cap))
+    else:
+        cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
 
     wt = jnp.pad(
         w.reshape(cap, heads).astype(jnp.float32),

@@ -491,6 +491,91 @@ def _make_rowmask_spmm(
     return f
 
 
+def _make_rowmask_spmm_dynidx(
+    csr: CSR,
+    csr_t: CSR,
+    heads: int,
+    interpret: bool,
+    weighted: bool = True,
+    stream_dtype=None,
+):
+    """Like ``_make_rowmask_spmm`` but the per-edge source-id arrays arrive
+    as TRACED jit arguments instead of embedded host constants.
+
+    At ogbn scale (1e8+ edges) a (capacity,) int32 constant is ~500 MB —
+    past this environment's remote-compile request limit (HTTP 413) and a
+    waste of module size anywhere. Callers pass ``(h, w, src_ids,
+    src_ids_t)`` where the id arrays are the clamped forward cols and the
+    transpose cols (device arrays, uploaded once as arguments). Integer
+    args take float0 cotangents.
+    """
+    from stgraph_tpu.ops import segment_pallas as nsp
+
+    n = csr.num_nodes
+    cap = csr.capacity
+    _, rows_np, _, eids_np = csr.host_arrays()
+    _, _, _, eids_t_np = csr_t.host_arrays()
+    emask = (rows_np < n).astype(np.float32)
+    pos_in_fwd = np.zeros(cap + 1, np.int32)
+    pos_in_fwd[np.minimum(eids_np, cap)] = np.arange(cap, dtype=np.int32)
+    perm_t = pos_in_fwd[np.minimum(eids_t_np, cap)]
+    pos_in_t = np.zeros(cap + 1, np.int32)
+    pos_in_t[np.minimum(eids_t_np, cap)] = np.arange(cap, dtype=np.int32)
+    perm_f = pos_in_t[np.minimum(eids_np, cap)]
+
+    @jax.custom_vjp
+    def f(h_flat, w, sids, sids_t):
+        out, _ = nsp.spmm_rowmask(
+            csr,
+            w if weighted else None,
+            h_flat,
+            heads=heads,
+            interpret=interpret,
+            stream_dtype=stream_dtype,
+            src_ids=sids,
+        )
+        return out
+
+    def fwd(h_flat, w, sids, sids_t):
+        return f(h_flat, w, sids, sids_t), (h_flat, w, sids, sids_t)
+
+    def bwd(res, g):
+        h_flat, w, sids, sids_t = res
+        if weighted:
+            dh, dw_t = nsp.spmm_rowmask_bwd(
+                csr_t,
+                w[perm_t],
+                g,
+                h_flat,
+                heads=heads,
+                interpret=interpret,
+                stream_dtype=stream_dtype,
+                src_ids=sids_t,
+            )
+            dw = dw_t[perm_f] * emask[:, None]
+        else:
+            dh, _ = nsp.spmm_rowmask(
+                csr_t,
+                None,
+                g,
+                heads=heads,
+                interpret=interpret,
+                stream_dtype=stream_dtype,
+                src_ids=sids_t,
+            )
+            dw = jnp.zeros_like(w)
+        f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # int cotangents
+        return (
+            dh.astype(h_flat.dtype),
+            dw.astype(w.dtype),
+            f0(sids),
+            f0(sids_t),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _rowmask_eligible(csr, heads: int, f: int) -> bool:
     if isinstance(csr.rows, jax.core.Tracer) or isinstance(
         csr.indptr, jax.core.Tracer
@@ -522,6 +607,8 @@ def spmm(
     blocked_t: Optional[BlockedCSR] = None,
     csr_t: Optional[CSR] = None,
     interpret: bool = False,
+    src_ids: Optional[jnp.ndarray] = None,
+    src_ids_t: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pallas SpMM entry point matching ``ops.message.spmm``'s contract.
 
@@ -562,6 +649,14 @@ def spmm(
     if _rowmask_eligible(csr, 1, node_feat.shape[-1]):
         if csr_t is None:
             csr_t = csr.transpose()
+        if src_ids is not None:
+            if src_ids_t is None:
+                raise ValueError("src_ids requires src_ids_t")
+            out = _make_rowmask_spmm_dynidx(
+                csr, csr_t, 1, interpret, weighted=weighted,
+                stream_dtype=_stream_dtype(csr, node_feat.dtype),
+            )(node_feat, w.reshape(-1, 1), src_ids, src_ids_t)
+            return out.astype(node_feat.dtype)
         out = _make_rowmask_spmm(
             csr, csr_t, 1, interpret, weighted=weighted,
             stream_dtype=_stream_dtype(csr, node_feat.dtype),

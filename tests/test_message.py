@@ -207,3 +207,55 @@ def test_wide_segment_reductions_vs_oracle(rng):
         np.testing.assert_allclose(
             np.asarray(gk), np.asarray(gj), rtol=1e-4, atol=1e-4
         )
+
+
+def test_spmm_dynidx_matches_constant_path(rng):
+    """src_ids-as-argument routing (ogbn-scale module-size workaround)
+    matches the embedded-constant path, values and grads."""
+    import jax
+    import jax.numpy as jnp
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops import spmm_pallas
+
+    n, e = 200, 3000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    csr = build_csr(src, dst, n)
+    csr_t = csr.transpose()
+    _, _, cols_np, _ = csr.host_arrays()
+    _, _, cols_t_np, _ = csr_t.host_arrays()
+    sids = jnp.asarray(np.minimum(cols_np, n - 1))
+    sids_t = jnp.asarray(np.minimum(cols_t_np, n - 1))
+    h = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((csr.capacity,)).astype(np.float32))
+    gref = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+
+    for weights in (None, w):
+        ref = spmm_pallas.spmm(csr, h, weights, csr_t=csr_t, interpret=True)
+        got = spmm_pallas.spmm(
+            csr, h, weights, csr_t=csr_t, interpret=True,
+            src_ids=sids, src_ids_t=sids_t,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def loss_dyn(h, w):
+        return jnp.sum(
+            spmm_pallas.spmm(
+                csr, h, w, csr_t=csr_t, interpret=True,
+                src_ids=sids, src_ids_t=sids_t,
+            ) * gref
+        )
+
+    def loss_const(h, w):
+        return jnp.sum(
+            spmm_pallas.spmm(csr, h, w, csr_t=csr_t, interpret=True) * gref
+        )
+
+    gd = jax.grad(loss_dyn, argnums=(0, 1))(h, w)
+    gc = jax.grad(loss_const, argnums=(0, 1))(h, w)
+    for a, b in zip(gd, gc):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
