@@ -79,7 +79,8 @@ def main() -> None:
     ap = argparse.ArgumentParser("dynamic-temporal TGCN benchmark")
     ap.add_argument("--dataset", default="england_covid")
     ap.add_argument(
-        "--type", default="naive", choices=["naive", "delta", "delta-scan"]
+        "--type", default="naive",
+        choices=["naive", "delta", "delta-scan", "pma-scan"],
     )
     ap.add_argument("--num_epochs", type=int, default=5)
     ap.add_argument("--num_hidden", type=int, default=32)
@@ -122,13 +123,14 @@ def main() -> None:
         G = NaiveGraph(edge_lists, weight_lists)
     else:
         G = DeltaGraph(edge_lists, weight_lists)
+    scan_types = ("delta-scan", "pma-scan")
     build_time = time.perf_counter() - t0
     n = G.get_num_nodes()
     t_total = len(d.get_all_features())
 
     feats = jnp.asarray(np.stack(d.get_all_features()), jnp.float32)  # (T', N, lags)
-    if args.type == "delta-scan":
-        # In-step structure mutation: the scan carries the EdgeStore and
+    if args.type in scan_types:
+        # In-step structure mutation: the scan carries the edge store and
         # replays each timestamp's delta INSIDE the compiled epoch — the
         # reference's per-step PCSR/GPMA updates (§3.5 of SURVEY.md), fused
         # into one XLA program. Memory: O(capacity + T x delta) instead of
@@ -140,6 +142,26 @@ def main() -> None:
         if staged_add_w is not None:
             staged_add_w = staged_add_w[lags : lags + t_total]
         init_store = G.snapshot_store(lags - 1)
+        if args.type == "pma-scan":
+            # PMA chunked layout: O(delta) in-place updates with slack
+            # (graph/pma_store.py). Host-build from the flat snapshot.
+            from stgraph_tpu.graph.pma_store import pma_from_edges
+
+            rows0 = np.asarray(init_store.rows)
+            cols0 = np.asarray(init_store.cols)
+            w0 = (
+                None
+                if init_store.weights is None
+                else np.asarray(init_store.weights)
+            )
+            live = rows0 < G.get_num_nodes()
+            S = 256
+            C = max((G._capacity + S - 1) // S * 2, 2)
+            init_pma = pma_from_edges(
+                cols0[live], rows0[live], G.get_num_nodes(),
+                num_chunks=C, chunk_size=S,
+                weights=None if w0 is None else w0[live],
+            )
         stacked = None
         weights = None
     else:
@@ -161,7 +183,7 @@ def main() -> None:
     model = TGCN(lags, args.num_hidden)
     init_csr = (
         G.get_graph(lags)
-        if args.type == "delta-scan"
+        if args.type in scan_types
         else jax.tree_util.tree_map(lambda a: a[0], stacked)
     )
     params = jax.jit(lambda k, x: model.init(k, init_csr, x))(
@@ -195,7 +217,43 @@ def main() -> None:
     @jax.jit
     def epoch_step(params, opt_state, key):
         def loss_fn(params):
-            if args.type == "delta-scan":
+            if args.type == "pma-scan":
+                from stgraph_tpu.graph.delta_graph import (
+                    EdgeStore,
+                    edge_store_to_csr,
+                )
+                from stgraph_tpu.graph.pma_store import (
+                    PMAStore,
+                    apply_delta_pma,
+                )
+
+                weighted = staged_add_w is not None
+
+                def body(carry, xs):
+                    hidden, key, st = carry
+                    add, dele, add_w, x_t = xs
+                    st = apply_delta_pma(
+                        st,
+                        add[:, 1], add[:, 0],  # row = dst
+                        dele[:, 1], dele[:, 0],
+                        add_weights=add_w,
+                    )
+                    rows_f, cols_f, w_f = st.flatten()
+                    # The flat PMA view has interspersed sentinel slots;
+                    # the in-scan jnp aggregation path is mask-based, so
+                    # the unsorted-padding CSR is fine.
+                    csr_t = edge_store_to_csr(
+                        EdgeStore(rows_f, cols_f, st.num_edges, n, w_f)
+                    )
+                    w_t = w_f.reshape(-1, 1) if weighted else None
+                    hidden, key, loss = step_loss(
+                        params, hidden, key, csr_t, x_t, w_t
+                    )
+                    return (hidden, key, st), loss
+
+                init = (jnp.zeros((n, args.num_hidden)), key, init_pma)
+                xs = (staged_add, staged_del, staged_add_w, feats)
+            elif args.type == "delta-scan":
                 from stgraph_tpu.graph.delta_graph import (
                     EdgeStore,
                     apply_delta,

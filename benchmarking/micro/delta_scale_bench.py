@@ -68,6 +68,7 @@ def main() -> None:
     ap.add_argument("--nodes", type=int, default=1_100_000)
     ap.add_argument("--slide", type=int, default=10_000)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--chunk-size", type=int, default=1024)
     ap.add_argument("--skip-legacy", action="store_true")
     args = ap.parse_args()
 
@@ -140,9 +141,47 @@ def main() -> None:
         return dt
 
     dt_new = bench(apply_delta, "merge-based apply_delta   ")
+
+    # PMA chunked store: cost O(min(d, C)·S) — sublinear in capacity once
+    # the slide is small relative to the chunk count (the PCSR regime).
+    from stgraph_tpu.graph.pma_store import apply_delta_pma, pma_from_edges
+
+    S = args.chunk_size
+    C = (cap + S - 1) // S * 2  # ~50% density
+    store0 = pma_from_edges(
+        cols0[:e0], rows0[:e0], n, num_chunks=C, chunk_size=S
+    )
+
+    @jax.jit
+    def run_pma(st):
+        def body(st, xs):
+            a, dl = xs
+            st = apply_delta_pma(st, a[:, 0], a[:, 1], dl[:, 0], dl[:, 1])
+            return st, st.num_edges
+
+        st, _ = jax.lax.scan(
+            body, st, (jnp.asarray(adds), jnp.asarray(dels))
+        )
+        return st.num_edges
+
+    t0 = time.perf_counter()
+    v = int(run_pma(store0))
+    print(f"pma chunked (S={S})       : compile+run1 "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+    rtt = readback_rtt()
+    t0 = time.perf_counter()
+    v = int(run_pma(store0))
+    dt_pma = (time.perf_counter() - t0 - rtt) / t_steps
+    print(
+        f"pma chunked (S={S})       : {dt_pma*1e3:.2f} ms/timestep "
+        f"(C={C}, affected<= {min(2*d, C)}, final edges={v})",
+        flush=True,
+    )
+
     if not args.skip_legacy:
         dt_old = bench(_legacy_apply_delta, "legacy 3x-argsort baseline")
-        print(f"speedup: {dt_old/dt_new:.1f}x", flush=True)
+        print(f"speedup merge vs legacy: {dt_old/dt_new:.1f}x", flush=True)
+    print(f"speedup pma vs merge: {dt_new/dt_pma:.1f}x", flush=True)
 
 
 if __name__ == "__main__":

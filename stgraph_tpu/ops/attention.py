@@ -120,6 +120,35 @@ def sparse_gat_attention(
 
     n, h, f = feat_src.shape
     cap = csr.capacity
+    # Fully fused flash path: no (E, H) tensors, no narrow random gathers
+    # (ops/flash_gat.py). Falls back to the rowmask pipeline when the
+    # tiling is unsupported or the residual gather plane would be too
+    # large to hold un-streamed.
+    from stgraph_tpu.ops import flash_gat as FG
+    from stgraph_tpu.ops.spmm_pallas import _stream_dtype as _sdt_of
+
+    sdt0 = _sdt_of(csr, jnp.float32) or jnp.float32
+    plane_bytes = (
+        (cap + 2 * 1024) * ( ( (h * f + 127) // 128 ) * 128 + 128)
+        * jnp.dtype(sdt0).itemsize
+    )
+    if (
+        (interpret or _on_tpu())
+        and FG.flash_supported(h, f)
+        and plane_bytes <= FG.FLASH_MAX_PLANE_BYTES
+    ):
+        out = FG.flash_gat_attention(
+            csr,
+            el[..., 0].astype(jnp.float32),
+            er[..., 0].astype(jnp.float32),
+            feat_src.reshape(n, h * f),
+            heads=h,
+            negative_slope=negative_slope,
+            csr_t=csr_t,
+            stream_dtype=sdt0,
+            interpret=interpret,
+        )
+        return out.reshape(n, h, f).astype(feat_src.dtype)
     # Fused row-masked kernel: weights applied in-kernel from an (H, E)
     # stream, softmax denominator accumulated in the same pass. Falls back
     # to the composed spmm when off-TPU or the head/feature tiling doesn't

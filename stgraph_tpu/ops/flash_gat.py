@@ -1,0 +1,676 @@
+"""Flash-GAT: fully fused segment-softmax attention, no (E, H) tensors.
+
+The round-2 GAT pipeline still materialized per-edge logits and softmax
+weights in HBM and paid three narrow random gathers per step — measured at
+~9.7 ms EACH for an (E, 8) gather at E=2M (narrow rows waste the HBM
+transaction; docs/PERF.md). This module removes all of them:
+
+  * **The stability max factors through the graph.** ``leaky_relu`` is
+    monotone, so ``max_e leaky(el[src_e] + er[d]) = leaky(max_e el[src_e]
+    + er[d])`` — bitwise-exactly (float add is monotone and the winning
+    edge's sum is the same float). The per-destination max therefore needs
+    only a narrow segment-max over ``el[cols]``, which is *sliced out of
+    the feature gather plane* rather than gathered separately.
+  * **Source-side scores ride the feature gather.** The per-edge random
+    row fetch is transaction-bound, so appending lanes to the gathered row
+    is nearly free: the forward plane is ``[feat_src | el_hi | el_lo]``
+    (hi/lo bf16 split reconstructs ~17 mantissa bits when streaming bf16).
+    The softmax weight ``w = exp(min(leaky(el+er) - m, 0))`` is computed
+    INSIDE the aggregation kernel; destination-side quantities (er, m) are
+    ROW-BLOCK inputs recovered per edge with a one-hot mask matmul. The
+    min-0 clamp is exact for real edges (m is the exact max) and bounds
+    the exp of out-of-block garbage positions the row masks discard.
+  * **Backward is two symmetric passes with no RMW and no permutations.**
+    The softmax VJP needs four reductions: d feat (by src), dl (by src),
+    der (by dst), and the per-edge SDDMM ``dw = <fs[src], gu[dst]>``.
+    Pass A runs on the forward CSR (rows = dst): it re-reads the saved
+    forward plane, recomputes w, forms ``gu`` per edge from the row block
+    (mask matmul), computes dw + ds0 in registers, and aggregates ``der``
+    directly. Pass B runs on the transpose CSR (rows = src) over a fresh
+    gather plane ``[gu | er | m | c]`` (hi/lo pairs), recomputes w the
+    same way (el now comes from the row block), and aggregates ``d feat``
+    and ``dl``. Neither pass writes any per-edge tensor to HBM, so the
+    previous design's read-modify-write dw plane and both (E, 8)
+    permutation gathers disappear.
+
+Reference counterpart: the fully fused generated GAT kernels
+(``stgraph/compiler/code_gen/templates/fa/tpl_fa_csr.jinja:28-45``) plus
+the sympy peephole's reuse of materialized softmax sums
+(``stgraph/compiler/passes/peephole.py``) — here the peephole's closed
+form is ``c[d] = <g[d], out[d]> / denom[d]`` and the whole softmax VJP is
+re-derived scatter-free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stgraph_tpu.graph.blocked import EDGE_CHUNK, ROW_BLOCK
+from stgraph_tpu.graph.csr import CSR
+from stgraph_tpu.ops.segment_pallas import (
+    RowBlockMeta,
+    _ALIGN,
+    _round_up,
+    row_block_meta,
+    segment_max_narrow,
+)
+
+__all__ = ["flash_gat_attention", "flash_supported", "FLASH_MAX_PLANE_BYTES"]
+
+# Above this forward-plane size the caller should fall back to the
+# segment-streaming composed path (the flash plane is held as a residual).
+FLASH_MAX_PLANE_BYTES = 6 * 1024**3
+
+_SIDE = 128  # extra lane tile appended to each gather plane
+
+
+def flash_supported(heads: int, f: int) -> bool:
+    """Tiling constraints: whole head groups per 128-lane tile, and the
+    pass-B side tile must hold six h-wide hi/lo fields."""
+    if heads < 1 or f < 1:
+        return False
+    if heads == 1:
+        return f % 128 == 0 or f <= 128
+    return 128 % f == 0 and (heads * f) % 128 == 0 and 6 * heads <= _SIDE
+
+
+def _hi_lo(x: jnp.ndarray, stream_bf16: bool):
+    """Split f32 columns into (hi, lo) so a bf16 plane keeps ~17 mantissa
+    bits; the f32 plane carries (x, 0)."""
+    if not stream_bf16:
+        return x, jnp.zeros_like(x)
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _spreads(h: int, f: int, n_ft: int):
+    """spread[t][k, l] = 1 iff lane l of feature tile t belongs to head k.
+
+    Built from iotas (in-kernel; pallas kernels cannot capture array
+    constants)."""
+    out = []
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (h, 128), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (h, 128), 1)
+    for t in range(n_ft):
+        if h == 1:
+            m = jnp.ones((1, 128), jnp.float32)
+        else:
+            hpt = 128 // f
+            m = (k_ids == t * hpt + l_ids // f).astype(jnp.float32)
+        out.append(m)
+    return out
+
+
+def _mask(bs, be, pos0, base):
+    pos = pos0 + base
+    return jnp.logical_and(pos >= bs, pos < be)
+
+
+def _flash_fwd_kernel(
+    astart_ref,
+    nchunks_ref,
+    bs_ref,  # (1, ROW_BLOCK, 1)
+    be_ref,
+    side_ref,  # (ROW_BLOCK, 2h) f32: [er | m]
+    plane_ref,  # (CAP_pad, f_flat + 128) HBM
+    out_ref,  # (ROW_BLOCK, f_flat)
+    den_ref,  # (ROW_BLOCK, 128)
+    slab,  # (2, EDGE_CHUNK, f_flat + 128)
+    acc,  # (ROW_BLOCK, f_flat) f32
+    den_acc,  # (ROW_BLOCK, 128) f32
+    sem,
+    *,
+    h: int,
+    f: int,
+    f_flat: int,
+    n_ft: int,
+    slope: float,
+):
+    rb = pl.program_id(0)
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+    sdt = slab.dtype
+    # TPU DEFAULT f32 matmuls run as ONE bf16 pass (~0.8% error —
+    # measured); the f32 stream exists for precision, so raise it.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if sdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off, EDGE_CHUNK), :], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    acc[...] = jnp.zeros_like(acc)
+    den_acc[...] = jnp.zeros_like(den_acc)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    spreads = _spreads(h, f, n_ft)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * EDGE_CHUNK)
+        m32 = mb.astype(jnp.float32)
+        msd = mb.astype(sdt)
+        sl = slab[slot]
+        el = sl[:, f_flat : f_flat + h].astype(jnp.float32) + sl[
+            :, f_flat + h : f_flat + 2 * h
+        ].astype(jnp.float32)  # (CHUNK, h)
+        erm = jax.lax.dot_general(
+            m32,
+            side_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, 2h): one-hot columns -> exact per-edge er/m
+        s = el + erm[:, :h]
+        s = jnp.where(s >= 0, s, slope * s)
+        # Exact for real edges (m is the exact segment max, so s - m <= 0);
+        # bounds garbage positions (mask 0) so no inf reaches the matmul.
+        w = jnp.exp(jnp.minimum(s - erm[:, h:], 0.0))  # (CHUNK, h) f32
+        den_acc[:, :h] += jax.lax.dot_general(
+            m32,
+            w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for t in range(n_ft):
+            w_lane = jax.lax.dot_general(
+                w,
+                spreads[t],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (CHUNK, 128)
+            tile = sl[:, t * 128 : (t + 1) * 128]
+            if sdt == jnp.float32:
+                scaled = tile * w_lane
+            else:
+                scaled = tile * w_lane.astype(sdt)
+            acc[:, t * 128 : (t + 1) * 128] += jnp.dot(
+                msd, scaled, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    out_ref[...] = acc[...]
+    den_ref[...] = den_acc[...]
+
+
+def _flash_bwd_a_kernel(
+    astart_ref,
+    nchunks_ref,
+    bs_ref,
+    be_ref,
+    side_ref,  # (ROW_BLOCK, 3h) f32: [er | m | c]
+    gu_ref,  # (ROW_BLOCK, f_flat) sdt — dst-row cotangents
+    plane_ref,  # saved forward plane, HBM
+    der_ref,  # (ROW_BLOCK, 128)
+    slab,
+    der_acc,
+    sem,
+    *,
+    h: int,
+    f: int,
+    f_flat: int,
+    n_ft: int,
+    slope: float,
+):
+    """Pass A (forward CSR, rows = destinations): der only.
+
+    Recomputes w exactly as the forward kernel, recovers each edge's
+    destination cotangent rows from the block (mask matmul), forms the
+    SDDMM dw and the softmax VJP ds0 in registers, and aggregates
+    ``der[d] = sum ds0`` — the one backward quantity grouped by
+    destination. Nothing per-edge is written.
+    """
+    rb = pl.program_id(0)
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+    sdt = slab.dtype
+    # TPU DEFAULT f32 matmuls run as ONE bf16 pass (~0.8% error —
+    # measured); the f32 stream exists for precision, so raise it.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if sdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off, EDGE_CHUNK), :], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    der_acc[...] = jnp.zeros_like(der_acc)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    spreads = _spreads(h, f, n_ft)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * EDGE_CHUNK)
+        m32 = mb.astype(jnp.float32)
+        msd = mb.astype(sdt)
+        sl = slab[slot]
+        el = sl[:, f_flat : f_flat + h].astype(jnp.float32) + sl[
+            :, f_flat + h : f_flat + 2 * h
+        ].astype(jnp.float32)
+        emc = jax.lax.dot_general(
+            m32,
+            side_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, 3h)
+        s = el + emc[:, :h]
+        lp = jnp.where(s >= 0, 1.0, slope)
+        s = jnp.where(s >= 0, s, slope * s)
+        w = jnp.exp(jnp.minimum(s - emc[:, h : 2 * h], 0.0))
+        dw = jnp.zeros((EDGE_CHUNK, h), jnp.float32)
+        for t in range(n_ft):
+            gu_t = jax.lax.dot_general(
+                msd,
+                gu_ref[:, t * 128 : (t + 1) * 128],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ).astype(sdt)  # (CHUNK, 128) per-edge dst cotangent tile
+            prod = sl[:, t * 128 : (t + 1) * 128] * gu_t
+            dw = dw + jax.lax.dot_general(
+                prod.astype(jnp.float32),
+                spreads[t],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        ds0 = w * (dw - emc[:, 2 * h :]) * lp
+        der_acc[:, :h] += jax.lax.dot_general(
+            m32,
+            ds0,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    der_ref[...] = der_acc[...]
+
+
+def _flash_bwd_b_kernel(
+    astart_ref,
+    nchunks_ref,
+    bs_ref,
+    be_ref,
+    el_ref,  # (ROW_BLOCK, h) f32 — src-row scores
+    fs_ref,  # (ROW_BLOCK, f_flat) sdt — src-row forward features
+    plane_ref,  # (CAP_pad, f_flat + 128) HBM: [gu | er±, m±, c±]
+    dfs_ref,  # (ROW_BLOCK, f_flat)
+    dl_ref,  # (ROW_BLOCK, 128)
+    slab,
+    dfs_acc,
+    dl_acc,
+    sem,
+    *,
+    h: int,
+    f: int,
+    f_flat: int,
+    n_ft: int,
+    slope: float,
+):
+    """Pass B (transpose CSR, rows = sources): d feat_src and dl.
+
+    The destination-side fields (er, m, c) ride the gather plane as hi/lo
+    lane pairs; el comes from the row block. w is recomputed bit-compatibly
+    with the forward (same m, same clamp), then one pass aggregates
+    ``d feat_src = sum w * gu`` and ``dl = sum ds0`` per source row, with
+    the SDDMM again folded in registers.
+    """
+    rb = pl.program_id(0)
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+    sdt = slab.dtype
+    # TPU DEFAULT f32 matmuls run as ONE bf16 pass (~0.8% error —
+    # measured); the f32 stream exists for precision, so raise it.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if sdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off, EDGE_CHUNK), :], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    dfs_acc[...] = jnp.zeros_like(dfs_acc)
+    dl_acc[...] = jnp.zeros_like(dl_acc)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    spreads = _spreads(h, f, n_ft)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * EDGE_CHUNK)
+        m32 = mb.astype(jnp.float32)
+        msd = mb.astype(sdt)
+        sl = slab[slot]
+
+        def pair(j):
+            lo = f_flat + 2 * j * h
+            return sl[:, lo : lo + h].astype(jnp.float32) + sl[
+                :, lo + h : lo + 2 * h
+            ].astype(jnp.float32)
+
+        er_e, m_e, c_e = pair(0), pair(1), pair(2)
+        el_e = jax.lax.dot_general(
+            m32,
+            el_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, h)
+        s = el_e + er_e
+        lp = jnp.where(s >= 0, 1.0, slope)
+        s = jnp.where(s >= 0, s, slope * s)
+        w = jnp.exp(jnp.minimum(s - m_e, 0.0))
+        dw = jnp.zeros((EDGE_CHUNK, h), jnp.float32)
+        for t in range(n_ft):
+            w_lane = jax.lax.dot_general(
+                w,
+                spreads[t],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            gu_t = sl[:, t * 128 : (t + 1) * 128]
+            if sdt == jnp.float32:
+                scaled = gu_t * w_lane
+            else:
+                scaled = gu_t * w_lane.astype(sdt)
+            dfs_acc[:, t * 128 : (t + 1) * 128] += jnp.dot(
+                msd, scaled, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            fs_t = jax.lax.dot_general(
+                msd,
+                fs_ref[:, t * 128 : (t + 1) * 128],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ).astype(sdt)
+            prod = fs_t * gu_t
+            dw = dw + jax.lax.dot_general(
+                prod.astype(jnp.float32),
+                spreads[t],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        ds0 = w * (dw - c_e) * lp
+        dl_acc[:, :h] += jax.lax.dot_general(
+            m32,
+            ds0,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    dfs_ref[...] = dfs_acc[...]
+    dl_ref[...] = dl_acc[...]
+
+
+def _common_specs(meta: RowBlockMeta):
+    bs3 = meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)
+    be3 = meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)
+    return bs3, be3
+
+
+def _pad_rows(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    if x.shape[0] == n_pad:
+        return x
+    return jnp.pad(x, ((0, n_pad - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def flash_gat_attention(
+    csr: CSR,
+    el2: jnp.ndarray,  # (N, H) f32 source-side scores
+    er2: jnp.ndarray,  # (N, H) f32 destination-side scores
+    fs_flat: jnp.ndarray,  # (N, H*F) flat source features
+    heads: int,
+    negative_slope: float = 0.2,
+    csr_t: CSR = None,
+    stream_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused GAT segment-softmax attention; returns (N, H*F) f32.
+
+    One XLA gather + one Pallas pass forward; one gather + two Pallas
+    passes backward. See module docstring for the design.
+    """
+    n = csr.num_nodes
+    cap = csr.capacity
+    h = heads
+    f_flat = fs_flat.shape[-1]
+    f = f_flat // h
+    if not flash_supported(h, f):
+        raise ValueError(f"flash tiling unsupported for heads={h}, F={f}")
+    f_pad = _round_up(max(f_flat, 128), 128)
+    sdt = stream_dtype if stream_dtype is not None else jnp.float32
+    bf16 = sdt == jnp.bfloat16
+    slope = float(negative_slope)
+    n_ft = f_pad // 128
+
+    if csr_t is None:
+        csr_t = csr.transpose()
+    meta = row_block_meta(csr)
+    meta_t = row_block_meta(csr_t)
+    bs3, be3 = _common_specs(meta)
+    bs3_t, be3_t = _common_specs(meta_t)
+
+    _, rows_np, cols_np, _ = csr.host_arrays()
+    cols_c = np.minimum(cols_np, n - 1)
+    cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
+    _, rows_t_np, cols_t_np, _ = csr_t.host_arrays()
+    cols_t_c = np.minimum(cols_t_np, n - 1)
+    cols_t_pad = np.pad(cols_t_c, (0, meta_t.cap_pad - cap))
+
+    ftot = f_pad + _SIDE
+
+    def run(kernel, meta_, bs_, be_, blocks, block_widths, plane, n_out, kw):
+        """Shared pallas_call driver: grid (NB,), whole-slab double-buffered
+        DMA, (ROW_BLOCK, width) outputs."""
+        in_specs = [
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
+            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
+        ]
+        inputs = [meta_.astart, meta_.nchunks, bs_, be_]
+        for b, wdt in zip(blocks, block_widths):
+            in_specs.append(
+                pl.BlockSpec((ROW_BLOCK, wdt), lambda rb, *_: (rb, 0))
+            )
+            inputs.append(b)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(plane)
+        out_specs = tuple(
+            pl.BlockSpec((ROW_BLOCK, wdt), lambda rb, *_: (rb, 0))
+            for wdt in n_out
+        )
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((meta_.num_rows_padded, wdt), jnp.float32)
+            for wdt in n_out
+        )
+        scratch = [pltpu.VMEM((2, EDGE_CHUNK, ftot), sdt)]
+        scratch += [
+            pltpu.VMEM((ROW_BLOCK, wdt), jnp.float32) for wdt in n_out
+        ]
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(meta_.num_blocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            functools.partial(
+                kernel, h=h, f=f if h > 1 else 128, f_flat=f_pad,
+                n_ft=n_ft, slope=slope, **kw
+            ),
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=6 * meta_.cap_pad * f_pad,
+                bytes_accessed=meta_.cap_pad * ftot * jnp.dtype(sdt).itemsize
+                + meta_.num_rows_padded * sum(n_out) * 4,
+                transcendentals=meta_.cap_pad * h,
+            ),
+        )(*inputs)
+
+    def build_plane(table_f32, cols):
+        # Gather from the f32 table, cast on the output write: random row
+        # reads are transaction-bound (payload width ~free), sequential
+        # writes are halved by bf16 (docs/PERF.md).
+        return table_f32[jnp.asarray(cols)].astype(sdt)
+
+    @jax.custom_vjp
+    def attn(el2_, er2_, fs_):
+        out, _, _, _, _ = _fwd_parts(el2_, er2_, fs_)
+        return out
+
+    def _fwd_parts(el2_, er2_, fs_):
+        el_hi, el_lo = _hi_lo(el2_, bf16)
+        side_pad = jnp.zeros((n, _SIDE - 2 * h), jnp.float32)
+        table = jnp.concatenate(
+            [
+                fs_.astype(jnp.float32),
+                jnp.zeros((n, f_pad - f_flat), jnp.float32),
+                el_hi,
+                el_lo,
+                side_pad,
+            ],
+            axis=1,
+        )  # (N, ftot) f32
+        plane = build_plane(table, cols_pad)  # (cap_pad, ftot) sdt
+        # Stability max, factored: m[d] = leaky(max_in el + er[d]), exact.
+        el_edge = (
+            plane[:cap, f_pad : f_pad + h].astype(jnp.float32)
+            + plane[:cap, f_pad + h : f_pad + 2 * h].astype(jnp.float32)
+        )
+        elmax = segment_max_narrow(csr, el_edge, interpret=interpret)
+        s_top = elmax + er2_
+        m = jnp.where(s_top >= 0, s_top, slope * s_top)  # (N, h)
+        side = _pad_rows(
+            jnp.concatenate([er2_, m], axis=1), meta.num_rows_padded
+        )
+        out_u, den = run(
+            _flash_fwd_kernel, meta, bs3, be3,
+            [side], [2 * h], plane, (f_pad, _SIDE), {},
+        )
+        denom = jnp.maximum(den[:n, :h], jnp.finfo(jnp.float32).tiny)
+        out_n = out_u[:n, :f_flat]
+        out = (
+            out_n.reshape(n, h, f) / denom[:, :, None]
+        ).reshape(n, f_flat)
+        return out, m, denom, plane, None
+
+    def fwd(el2_, er2_, fs_):
+        out, m, denom, plane, _ = _fwd_parts(el2_, er2_, fs_)
+        return out, (el2_, er2_, fs_, m, denom, out, plane)
+
+    def bwd(res, g):
+        el2_, er2_, fs_, m, denom, out, plane = res
+        g2 = g.reshape(n, h, f)
+        gu = (g2 / denom[:, :, None]).reshape(n, f_flat)
+        c = jnp.sum(g2 * out.reshape(n, h, f), axis=-1) / denom  # (N, h)
+
+        # Pass A: forward CSR -> der.
+        sideA = _pad_rows(
+            jnp.concatenate([er2_, m, c], axis=1), meta.num_rows_padded
+        )
+        guA = _pad_rows(
+            jnp.pad(gu, ((0, 0), (0, f_pad - f_flat))).astype(sdt),
+            meta.num_rows_padded,
+        )
+        (der_p,) = run(
+            _flash_bwd_a_kernel, meta, bs3, be3,
+            [sideA, guA], [3 * h, f_pad], plane, (_SIDE,), {},
+        )
+        der = der_p[:n, :h]
+
+        # Pass B: transpose CSR -> d feat_src, dl.
+        er_hi, er_lo = _hi_lo(er2_, bf16)
+        m_hi, m_lo = _hi_lo(m, bf16)
+        c_hi, c_lo = _hi_lo(c, bf16)
+        tableB = jnp.concatenate(
+            [
+                gu.astype(jnp.float32),
+                jnp.zeros((n, f_pad - f_flat), jnp.float32),
+                er_hi, er_lo, m_hi, m_lo, c_hi, c_lo,
+                jnp.zeros((n, _SIDE - 6 * h), jnp.float32),
+            ],
+            axis=1,
+        )
+        planeB = build_plane(tableB, cols_t_pad)
+        elB = _pad_rows(el2_, meta_t.num_rows_padded)
+        fsB = _pad_rows(
+            jnp.pad(
+                fs_.astype(jnp.float32), ((0, 0), (0, f_pad - f_flat))
+            ).astype(sdt),
+            meta_t.num_rows_padded,
+        )
+        dfs_p, dl_p = run(
+            _flash_bwd_b_kernel, meta_t, bs3_t, be3_t,
+            [elB, fsB], [h, f_pad], planeB, (f_pad, _SIDE), {},
+        )
+        dfs = dfs_p[:n, :f_flat].astype(fs_.dtype)
+        dl = dl_p[:n, :h]
+        return dl.astype(el2_.dtype), der.astype(er2_.dtype), dfs
+
+    attn.defvjp(fwd, bwd)
+    return attn(
+        el2.astype(jnp.float32), er2.astype(jnp.float32), fs_flat
+    )

@@ -185,11 +185,14 @@ def _narrow_sum_kernel(
         # Row r owns chunk-local positions [bs[r], be[r]): two compares
         # replace the dst-id stream entirely (CSR order is dst-sorted).
         m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0])
+        # TPU DEFAULT f32 matmuls run as ONE bf16 pass (measured ~0.8%
+        # error); these are f32 streams, so force the exact path.
         acc_scratch[...] += jax.lax.dot_general(
             vals_scratch[slot],
             m.astype(vals_scratch.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return ()
 
@@ -512,7 +515,9 @@ def _wide_max_kernel(
             v,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (ROW_BLOCK, 128) — exact: one-hot rows
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (ROW_BLOCK, 128) — exact one-hot rows (DEFAULT would round
+        # the selected values through one bf16 pass on TPU)
         picked = jnp.where(present, picked, neg_inf)
         acc_scratch[...] = jnp.maximum(acc_scratch[...], picked)
         return ()
@@ -809,11 +814,11 @@ def _spmm_rowmask_kernel(
         m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0]).astype(
             feat_dtype
         )  # (ROW_BLOCK, EDGE_CHUNK); 0/1 are exact in bf16
+        exact = feat_dtype == jnp.float32
         if weighted:
             w_chunk = w_scratch[slot]  # (K_pad, EDGE_CHUNK)
             # bf16 stream: weights ride at bf16 precision end-to-end (the
             # features already do); f32 stream keeps the spread exact.
-            exact = feat_dtype == jnp.float32
             w_lane = jax.lax.dot_general(
                 w_chunk,
                 spread,
@@ -838,7 +843,11 @@ def _spmm_rowmask_kernel(
             # scaling pass — the selection matmul consumes the chunk as-is.
             scaled = feat_scratch[slot]
         acc_scratch[...] += jnp.dot(
-            m, scaled, preferred_element_type=jnp.float32
+            m, scaled, preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST if exact
+                else jax.lax.Precision.DEFAULT
+            ),
         )
         if with_denom:
 
@@ -1071,6 +1080,118 @@ def spmm_rowmask(
     return out, None
 
 
+def spmm_rowmask_traced(
+    astart: jnp.ndarray,  # (NB,) int32 — may be traced (shard_map slices)
+    nchunks: jnp.ndarray,  # (NB,)
+    bs: jnp.ndarray,  # (NB, ROW_BLOCK, 1) int32 chunk-local row starts
+    be: jnp.ndarray,  # (NB, ROW_BLOCK, 1)
+    w: Optional[jnp.ndarray],  # (cap_pad, heads) CSR-order weights or None
+    gathered: jnp.ndarray,  # (cap_pad, F_flat) pre-gathered edge features
+    heads: int = 1,
+    with_denom: bool = False,
+    interpret: bool = False,
+):
+    """Row-masked (weighted) SpMM over TRACED layout arrays.
+
+    The shard-local variant of ``spmm_rowmask`` for use INSIDE
+    ``shard_map``: the per-shard RowBlockMeta arrays arrive as sliced
+    device values (stacked by the partitioner), so nothing here may touch
+    host numpy. The caller gathers the features itself (sources live in
+    the widened [local | halo] space) and handles autodiff (pallas_call
+    has no VJP of its own). Single segment — shard subgraphs are bounded
+    by the partitioner's uniform capacity. Returns ``(out, denom)`` with
+    ``out`` (num_rows_padded, F_pad) f32; slice rows/lanes at the caller.
+    """
+    nb = astart.shape[0]
+    cap_pad = gathered.shape[0]
+    f_flat = gathered.shape[1]
+    f = f_flat // heads
+    if f * heads != f_flat:
+        raise ValueError("gathered width must be heads * F")
+    if heads > 1 and (128 % f != 0 or f_flat % 128 != 0):
+        raise ValueError("multihead tiling needs 128 % F == 0, H*F % 128 == 0")
+    if cap_pad % EDGE_CHUNK:
+        raise ValueError("gathered leading dim must be EDGE_CHUNK-aligned")
+    weighted = w is not None
+    if with_denom and not weighted:
+        raise ValueError("with_denom requires weights")
+    k_pad = max(_round_up(heads, 8), 8)
+    f_pad = _round_up(max(f_flat, 128), 128)
+    feat_dtype = (
+        jnp.bfloat16 if gathered.dtype == jnp.bfloat16 else jnp.float32
+    )
+    gat = gathered.astype(feat_dtype)
+    if f_pad != f_flat:
+        gat = jnp.pad(gat, ((0, 0), (0, f_pad - f_flat)))
+    if weighted:
+        wt = jnp.pad(
+            w.reshape(cap_pad, heads).astype(jnp.float32),
+            ((0, 0), (0, k_pad - heads)),
+        ).T
+
+    in_specs = [
+        pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+        pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
+    ]
+    inputs = [astart.astype(jnp.int32), nchunks.astype(jnp.int32), bs, be]
+    if weighted:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(wt)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    inputs.append(gat)
+    out_specs = [pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft))]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb * ROW_BLOCK, f_pad), jnp.float32)
+    ]
+    if with_denom:
+        out_specs.append(
+            pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nb * ROW_BLOCK, 128), jnp.float32)
+        )
+    scratch = []
+    if weighted:
+        scratch.append(pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32))
+    scratch.append(pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype))
+    scratch.append(pltpu.VMEM((ROW_BLOCK, 128), jnp.float32))
+    if with_denom:
+        scratch.append(pltpu.VMEM((ROW_BLOCK, 128), jnp.float32))
+    if weighted:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, f_pad // 128),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    res = pl.pallas_call(
+        functools.partial(
+            _spmm_rowmask_kernel,
+            k_pad=k_pad,
+            feats_per_head=f if heads > 1 else 128,
+            single_head=heads == 1,
+            with_denom=with_denom,
+            weighted=weighted,
+        ),
+        out_shape=tuple(out_shape),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cap_pad * f_pad,
+            bytes_accessed=cap_pad
+            * (f_pad * jnp.dtype(feat_dtype).itemsize + (4 * k_pad if weighted else 0))
+            + nb * ROW_BLOCK * f_pad * 4,
+            transcendentals=0,
+        ),
+    )(*inputs)
+    if with_denom:
+        return res
+    return res[0], None
+
+
 def _spmm_sddmm_rowmask_kernel(
     # scalar prefetch
     astart_ref,  # (NB,)
@@ -1208,7 +1329,11 @@ def _spmm_sddmm_rowmask_kernel(
         else:
             scaled = g_raw * w_lane.astype(feat_dtype)
         acc_scratch[...] += jnp.dot(
-            m, scaled, preferred_element_type=jnp.float32
+            m, scaled, preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST if exact
+                else jax.lax.Precision.DEFAULT
+            ),
         )
         # --- folded SDDMM ---
         # Each edge's row features via a one-hot-column matmul (mask columns
@@ -1218,6 +1343,10 @@ def _spmm_sddmm_rowmask_kernel(
             fs_ref[...],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST if exact
+                else jax.lax.Precision.DEFAULT
+            ),
         ).astype(feat_dtype)  # (EDGE_CHUNK, 128)
         prod = fs_edge * g_raw  # (EDGE_CHUNK, 128)
         dw_chunk = jax.lax.dot_general(
@@ -1225,6 +1354,10 @@ def _spmm_sddmm_rowmask_kernel(
             prod,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST if exact
+                else jax.lax.Precision.DEFAULT
+            ),
         )  # (K_pad, EDGE_CHUNK): per-head lane-group sums
         rd = pltpu.make_async_copy(
             dw_ref.at[:, pl.ds(off, EDGE_CHUNK)],

@@ -178,12 +178,15 @@ def dist_spmm(
     if impl == "pallas":
         if not overlap:
             raise ValueError("impl='pallas' requires overlap=True")
-        if weighted:
-            raise ValueError("impl='pallas' supports unweighted sum only")
-        if dg.interior_blocked is None:
+        if dg.interior_rowmask is None:
             raise ValueError(
-                "impl='pallas' requires blocked layouts; rebuild the "
+                "impl='pallas' requires rowmask layouts; rebuild the "
                 "DistGraph with partition_edges()"
+            )
+        if multihead and (128 % f != 0 or (heads * f) % 128 != 0):
+            raise ValueError(
+                "multihead pallas dist_spmm needs 128 % F == 0 and "
+                "heads*F % 128 == 0"
             )
     use_pallas = impl == "pallas"
 
@@ -213,8 +216,10 @@ def dist_spmm(
             P(axis),  # local_csr pytree (prefix spec: dim0 of every leaf)
             P(axis),  # interior_csr
             P(axis),  # frontier_csr
-            P(axis),  # interior_blocked dict ({} when unused)
-            P(axis),  # frontier_blocked dict
+            P(axis),  # interior_rowmask dict ({} when unused)
+            P(axis),  # frontier_rowmask dict
+            P(axis),  # interior_pos (or placeholder)
+            P(axis),  # frontier_pos
             P(axis),  # edge weights (stacked shard-local) or placeholder
             P(axis, *([None] * (h.ndim - 1))),  # h rows
         ),
@@ -222,50 +227,102 @@ def dist_spmm(
         # pallas_call does not yet annotate varying-mesh-axes metadata.
         check_vma=not use_pallas,
     )
-    def _fwd(send_idx_by_d, local_csr, interior_csr, frontier_csr, ib, fb,
-             w_local, h_local):
+    def _fwd(send_idx_by_d, local_csr, interior_csr, frontier_csr,
+             irm, frm, int_pos, fro_pos, w_local, h_local):
         if multihead:
             h2 = h_local.reshape(h_local.shape[0], heads * f)
         else:
             h2 = h_local
         recv = _halo_exchange(dg, axis, send_idx_by_d, h2)
         if use_pallas:
-            from stgraph_tpu.ops.spmm_pallas import segment_sum_blocked
+            from stgraph_tpu.ops.segment_pallas import spmm_rowmask_traced
 
-            def reduce_blocked(blk_arrays, feats_src):
-                blk = _shard_blocked(
-                    blk_arrays,
-                    ns,
-                    dg.blocked_rows_padded,
-                    blk_arrays["dst"].shape[-1],
+            f_flat = heads * f if multihead else h2.shape[-1]
+
+            def reduce_rowmask(rm, csr_stacked, pos, cap_pad, feats_src):
+                """Per-shard reduction on the position-masked rowmask
+                kernel (CSR-direct reads, no blocked permutation).
+
+                Differentiable wrapper: pallas_call has no VJP; for a
+                weighted segment-sum the cotangents are
+                ``d gathered[e] = w[e] * g[dst_e]`` and
+                ``dw[e, k] = <gathered[e]|_k, g[dst_e]|_k>`` — gathers
+                only. The feats gather below transposes to a scatter-add
+                by JAX, and shard_map transposes the ppermutes, so the
+                whole distributed backward is synthesized from this rule.
+                """
+                c = jax.tree_util.tree_map(lambda x: x[0], csr_stacked)
+                cap = c.cols.shape[0]
+                cols = jnp.pad(c.cols, (0, cap_pad - cap))
+                rows = jnp.pad(
+                    c.rows, (0, cap_pad - cap), constant_values=ns
                 )
-                ones = jnp.ones((blk.capacity,), jnp.float32)
+                rows_c = jnp.clip(rows, 0, ns - 1)
+                emask = rows < ns
+                if weighted:
+                    wl = w_local[0].reshape(w_local[0].shape[0], -1)
+                    pos_c = jnp.minimum(pos[0], wl.shape[0] - 1)
+                    w_s = jnp.where(
+                        (pos[0] < wl.shape[0])[:, None], wl[pos_c], 0.0
+                    )  # (cap, heads) weights in THIS split's slot order
+                    w_pad = jnp.pad(w_s, ((0, cap_pad - cap), (0, 0)))
 
-                # Differentiable wrapper: pallas_call has no VJP of its own;
-                # d(segment-sum)/d(gathered)[e] is just g[dst_e] (zero on
-                # sentinels). The feats gather below transposes to a
-                # scatter-add by JAX, and shard_map transposes the
-                # ppermutes — so the whole distributed backward is
-                # synthesized from this one rule.
                 @jax.custom_vjp
-                def sg(gathered):
-                    return segment_sum_blocked(blk, ones, gathered, interpret)
+                def sg(gathered, w_arg):
+                    out, _ = spmm_rowmask_traced(
+                        rm["astart"][0],
+                        rm["nchunks"][0],
+                        rm["bs"][0],
+                        rm["be"][0],
+                        w_arg if weighted else None,
+                        gathered,
+                        heads=heads if multihead else 1,
+                        interpret=interpret,
+                    )
+                    return out[:ns, :f_flat]
 
-                def sg_fwd(gathered):
-                    return sg(gathered), ()
+                def sg_fwd(gathered, w_arg):
+                    return sg(gathered, w_arg), (gathered, w_arg)
 
-                def sg_bwd(_, g):
-                    dgath = g[jnp.clip(blk.dst, 0, ns - 1)]
-                    dgath = jnp.where((blk.dst < ns)[:, None], dgath, 0.0)
-                    return (dgath,)
+                def sg_bwd(res, g):
+                    gathered, w_arg = res
+                    gd = g[rows_c]  # (cap_pad?, ...) rows_c is (cap_pad,)
+                    gd = jnp.where(emask[:, None], gd[: cap_pad], 0.0)
+                    gd = jnp.pad(gd, ((0, cap_pad - gd.shape[0]), (0, 0)))
+                    if weighted:
+                        wk = jnp.repeat(
+                            w_arg, f_flat // w_arg.shape[1], axis=1
+                        )
+                        dgath = gd * wk
+                        dw = jnp.sum(
+                            (gathered * gd).reshape(
+                                cap_pad, w_arg.shape[1], -1
+                            ),
+                            axis=-1,
+                        )
+                    else:
+                        dgath = gd
+                        dw = jnp.zeros_like(w_arg)
+                    return dgath.astype(gathered.dtype), dw
 
                 sg.defvjp(sg_fwd, sg_bwd)
-                # segment_sum_blocked already slices to (ns, F).
-                return sg(feats_src[blk.cols])
+                src_c = jnp.minimum(cols, feats_src.shape[0] - 1)
+                gathered = feats_src[src_c]
+                w_in = (
+                    w_pad if weighted else jnp.zeros((cap_pad, 1), jnp.float32)
+                )
+                return sg(gathered, w_in)
 
-            interior = reduce_blocked(ib, h2)
-            frontier = reduce_blocked(fb, recv)
-            return interior + frontier
+            interior = reduce_rowmask(
+                irm, interior_csr, int_pos, dg.interior_cap_pad, h2
+            )
+            frontier = reduce_rowmask(
+                frm, frontier_csr, fro_pos, dg.frontier_cap_pad, recv
+            )
+            out = interior + frontier
+            if multihead:
+                out = out.reshape(ns, heads, f)
+            return out
         if weighted:
             # Single widened reduction with per-edge weights in local CSR
             # order; the ppermutes still overlap nothing here — acceptable:
@@ -293,11 +350,14 @@ def dist_spmm(
         buf = jnp.concatenate([h2, recv], axis=0)
         return M.spmm(_unstack_csr(local_csr), buf, impl="jnp")
 
-    ib = dg.interior_blocked if use_pallas else {}
-    fb = dg.frontier_blocked if use_pallas else {}
+    irm = dg.interior_rowmask if use_pallas else {}
+    frm = dg.frontier_rowmask if use_pallas else {}
+    zero = np.zeros((p, 1), np.int32)
+    int_pos = dg.interior_pos if (use_pallas and weighted) else zero
+    fro_pos = dg.frontier_pos if (use_pallas and weighted) else zero
     return _fwd(
         dg.send_idx_by_d, dg.local_csr, dg.interior_csr, dg.frontier_csr,
-        ib, fb, ew, h,
+        irm, frm, int_pos, fro_pos, ew, h,
     )
 
 

@@ -87,6 +87,13 @@ class DistGraph(NamedTuple):
     interior_blocked: Optional[Dict[str, np.ndarray]]
     frontier_blocked: Optional[Dict[str, np.ndarray]]
     blocked_rows_padded: int
+    interior_rowmask: Optional[Dict[str, np.ndarray]]
+    frontier_rowmask: Optional[Dict[str, np.ndarray]]
+    rowmask_rows_padded: int
+    interior_cap_pad: int
+    frontier_cap_pad: int
+    interior_pos: Optional[np.ndarray]  # (P, cap_int) local slot of each
+    frontier_pos: Optional[np.ndarray]  # interior/frontier edge (pad=cap)
     num_nodes: int
     num_global_edges: int
     nodes_per_shard: int
@@ -221,6 +228,22 @@ def partition_edges(
 
     int_blk, rows_padded = _stack_blocked(int_csrs)
     fro_blk, _ = _stack_blocked(fro_csrs)
+    int_rm, rm_rows, cap_pad_i = _stack_rowmask(int_csrs)
+    fro_rm, _, cap_pad_f = _stack_rowmask(fro_csrs)
+    # Slot maps local->interior/frontier order, for routing per-edge data
+    # (weights) without a second user-order gather at runtime.
+    gl = np.stack(gids_l)
+    inv = np.full((p, n_edges + 1), cap, np.int32)
+    for pp in range(p):
+        valid = gl[pp] < n_edges
+        inv[pp, gl[pp][valid]] = np.flatnonzero(valid).astype(np.int32)
+    def _pos(gids_s):
+        out = np.empty_like(gids_s)
+        for pp in range(p):
+            out[pp] = inv[pp, np.minimum(gids_s[pp], n_edges)]
+        return out
+    int_pos = _pos(np.stack(gids_i))
+    fro_pos = _pos(np.stack(gids_f))
     return DistGraph(
         local_csr=_stack(csrs),
         interior_csr=_stack(int_csrs),
@@ -233,6 +256,13 @@ def partition_edges(
         interior_blocked=int_blk,
         frontier_blocked=fro_blk,
         blocked_rows_padded=rows_padded,
+        interior_rowmask=int_rm,
+        frontier_rowmask=fro_rm,
+        rowmask_rows_padded=rm_rows,
+        interior_cap_pad=cap_pad_i,
+        frontier_cap_pad=cap_pad_f,
+        interior_pos=int_pos,
+        frontier_pos=fro_pos,
         num_nodes=num_nodes,
         num_global_edges=n_edges,
         nodes_per_shard=ns,
@@ -266,6 +296,34 @@ def _stack_blocked(csrs: List[CSR]):
         "cols": np.stack([pad_edge(b.cols, 0) for b in bs]),
     }
     return blk, bs[0].num_rows_padded
+
+
+def _stack_rowmask(csrs: List[CSR]):
+    """Per-shard position-masked (rowmask) layouts, stacked.
+
+    The rowmask kernel needs only four small arrays per shard (chunk
+    starts, chunk counts, per-row chunk-local ranges); all shards share
+    ``num_rows_padded`` (same ns) and are padded to a common EDGE_CHUNK-
+    aligned capacity so ``spmm_rowmask_traced`` sees uniform shapes
+    inside ``shard_map``. Sliced cols/gathered arrays are padded by the
+    consumer to ``cap_pad``.
+    """
+    from stgraph_tpu.graph.blocked import EDGE_CHUNK, ROW_BLOCK
+    from stgraph_tpu.ops.segment_pallas import row_block_meta
+
+    metas = [row_block_meta(c) for c in csrs]
+    cap_pad = max(m.cap_pad for m in metas)
+    rm = {
+        "astart": np.stack([m.astart for m in metas]),
+        "nchunks": np.stack([m.nchunks for m in metas]),
+        "bs": np.stack(
+            [m.bs.reshape(m.num_blocks, ROW_BLOCK, 1) for m in metas]
+        ),
+        "be": np.stack(
+            [m.be.reshape(m.num_blocks, ROW_BLOCK, 1) for m in metas]
+        ),
+    }
+    return rm, metas[0].num_rows_padded, cap_pad
 
 
 def _build_local_csr(

@@ -1,0 +1,153 @@
+"""Flash-GAT (ops/flash_gat.py) vs the jnp segment-softmax oracle.
+
+Interpret-mode Pallas on CPU; covers the f32 plane, the bf16 hi/lo plane,
+multiple head/feature tilings, duplicate edges, and isolated nodes.
+"""
+
+import numpy as np
+import pytest
+
+
+def _setup(rng, n=257, e=4000, extra_dups=True):
+    import jax.numpy as jnp
+
+    from stgraph_tpu.graph.csr import build_csr
+
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    if extra_dups:
+        src[: e // 10] = src[0]
+        dst[: e // 10] = dst[0]  # heavy duplicate edge
+    # Leave some isolated destinations.
+    dst = np.where(dst == n - 1, 0, dst)
+    return build_csr(src, dst, n)
+
+
+def _oracle(csr, el2, er2, fs, slope=0.2):
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops import segment as seg
+
+    n = csr.num_nodes
+    _, rows, cols, _ = csr.host_arrays()
+    rows_c = np.minimum(rows, n - 1)
+    cols_c = np.minimum(cols, n - 1)
+    emask = rows < n
+    s = el2[cols_c] + er2[rows_c]
+    s = jnp.where(s >= 0, s, slope * s)
+    alpha = seg.segment_softmax(
+        s, jnp.asarray(rows_c), n, edge_mask=jnp.asarray(emask)
+    )
+    msg = fs[cols_c] * alpha[..., None]
+    return seg.segment_sum(
+        msg, jnp.asarray(rows_c), n, edge_mask=jnp.asarray(emask)
+    )
+
+
+@pytest.mark.parametrize("h,f", [(8, 32), (2, 64), (4, 32), (1, 96)])
+def test_flash_forward_matches_oracle(rng, h, f):
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops.flash_gat import flash_gat_attention, flash_supported
+
+    assert flash_supported(h, f)
+    csr = _setup(rng)
+    n = csr.num_nodes
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    fs3 = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    out = flash_gat_attention(
+        csr, el, er, fs3.reshape(n, h * f), heads=h, interpret=True
+    ).reshape(n, h, f)
+    ref = _oracle(csr, el, er, fs3)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_grads_match_oracle(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops.flash_gat import flash_gat_attention
+
+    h, f = 4, 32
+    csr = _setup(rng)
+    n = csr.num_nodes
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+    gref = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+
+    def loss_flash(el_, er_, fs_):
+        out = flash_gat_attention(csr, el_, er_, fs_, heads=h, interpret=True)
+        return jnp.sum(out * gref)
+
+    def loss_ref(el_, er_, fs_):
+        ref = _oracle(csr, el_, er_, fs_.reshape(n, h, f))
+        return jnp.sum(ref.reshape(n, h * f) * gref)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(el, er, fs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(el, er, fs)
+    for name, a, b in zip(("dl", "der", "dfs"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            rtol=2e-3,
+            atol=2e-3,
+            err_msg=name,
+        )
+
+
+def test_flash_bf16_plane_close(rng):
+    """The hi/lo-split bf16 plane stays within streaming tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops.flash_gat import flash_gat_attention
+
+    h, f = 2, 64
+    csr = _setup(rng)
+    n = csr.num_nodes
+    el = jnp.asarray((rng.standard_normal((n, h)) * 3).astype(np.float32))
+    er = jnp.asarray((rng.standard_normal((n, h)) * 3).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+    out = flash_gat_attention(
+        csr, el, er, fs, heads=h, stream_dtype=jnp.bfloat16, interpret=True
+    ).reshape(n, h, f)
+    ref = _oracle(csr, el, er, fs.reshape(n, h, f))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+    # Gradients flow and stay finite through the bf16 plane.
+    g = jax.grad(
+        lambda a, b, c: jnp.sum(
+            flash_gat_attention(
+                csr, a, b, c, heads=h,
+                stream_dtype=jnp.bfloat16, interpret=True,
+            )
+            ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(el, er, fs)
+    for leaf in g:
+        assert bool(jnp.isfinite(leaf).all())
+
+
+def test_flash_zero_degree_rows_zero(rng):
+    import jax.numpy as jnp
+
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops.flash_gat import flash_gat_attention
+
+    n, h, f = 140, 2, 64
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 0])
+    csr = build_csr(src, dst, n)
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32)) * 30
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32)) * 30
+    fs = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+    out = flash_gat_attention(csr, el, er, fs, heads=h, interpret=True)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert np.allclose(out[5:], 0.0)
