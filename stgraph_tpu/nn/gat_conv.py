@@ -63,19 +63,16 @@ class GATConv(fnn.Module):
             feat.dtype,
         )
 
-        if self.attn_drop:
-            # The reference declares attn_drop and never applies it
-            # (gat_conv.py:25 creates the module; forward never calls it) —
-            # silently training different math than asked. We reject the
-            # knob instead: applying dropout to the NORMALIZED coefficients
-            # (DGL semantics) would force the softmax denominator out of
-            # the fused aggregation pass (ops/attention.py with_denom) for
-            # a knob the reference itself never honored. Use feat_drop, or
-            # open an issue if true attention dropout is needed.
-            raise NotImplementedError(
-                "attn_drop is not supported (the reference's own attn_drop "
-                "is dead code); use feat_drop instead"
-            )
+        # Attention dropout (DGL semantics: dropout on the NORMALIZED
+        # coefficients). The reference declares attn_drop and never applies
+        # it (gat_conv.py:25 creates the module; forward never calls it) —
+        # here it is honored: the dense path masks alpha per head; large
+        # graphs route to the edge-domain jnp softmax (the fused
+        # flash/rowmask pipelines are dropout-free inference/fine-tune
+        # paths — a per-edge mask would force an (E, H) tensor back into
+        # HBM, exactly what they exist to avoid).
+        use_attn_drop = self.attn_drop > 0.0 and not deterministic
+        attn_rng = self.make_rng("dropout") if use_attn_drop else None
         h = fnn.Dropout(self.feat_drop, deterministic=deterministic)(feat)
         feat_src = fc(h).reshape(-1, self.num_heads, self.out_feats)
         # Per-head scalar scores (N, H, 1): the halves of the GAT logit.
@@ -99,7 +96,37 @@ class GATConv(fnn.Module):
             from stgraph_tpu.ops.attention import dense_gat_attention
 
             rst = dense_gat_attention(
-                csr, el, er, feat_src, negative_slope=negative_slope
+                csr, el, er, feat_src, negative_slope=negative_slope,
+                attn_drop_rate=self.attn_drop if use_attn_drop else 0.0,
+                attn_drop_rng=attn_rng,
+            )
+            if self.activation is not None:
+                rst = self.activation(rst)
+            return rst
+
+        if use_attn_drop and concrete:
+            # Edge-domain jnp path: explicit alpha so the mask applies per
+            # coefficient; differentiable end-to-end through XLA.
+            import numpy as np
+
+            from stgraph_tpu.ops import segment as seg
+
+            _, rows_np, cols_np, _ = csr.host_arrays()
+            rows_c = np.minimum(rows_np, n - 1)
+            cols_c = np.minimum(cols_np, n - 1)
+            emask = jnp.asarray(rows_np < n)
+            s = el[..., 0][cols_c] + er[..., 0][rows_c]
+            s = jnp.where(s >= 0, s, negative_slope * s)
+            alpha = seg.segment_softmax(
+                s, jnp.asarray(rows_c), n, edge_mask=emask
+            )
+            keep = jax.random.bernoulli(
+                attn_rng, 1.0 - self.attn_drop, alpha.shape
+            )
+            alpha = jnp.where(keep, alpha / (1.0 - self.attn_drop), 0.0)
+            msg = feat_src[cols_c] * alpha[:, :, None]
+            rst = seg.segment_sum(
+                msg, jnp.asarray(rows_c), n, edge_mask=emask
             )
             if self.activation is not None:
                 rst = self.activation(rst)

@@ -41,8 +41,15 @@ def dense_gat_attention(
     er: jnp.ndarray,  # (N, H, 1) destination-side scores
     feat_src: jnp.ndarray,  # (N, H, F)
     negative_slope: float = 0.2,
+    attn_drop_rate: float = 0.0,
+    attn_drop_rng=None,
 ) -> jnp.ndarray:
-    """out[d, h, :] = sum_s softmax_s(leaky(el[s,h]+er[d,h])) * feat[s,h,:]."""
+    """out[d, h, :] = sum_s softmax_s(leaky(el[s,h]+er[d,h])) * feat[s,h,:].
+
+    ``attn_drop_rate`` > 0 (with an rng key) applies dropout to the
+    NORMALIZED coefficients (DGL semantics) — per (dst, src, head), with
+    the usual 1/(1-p) rescale of the kept entries.
+    """
     cached = getattr(csr, "_dense_counts", None)
     if cached is None:
         cached = _dense_counts(csr)
@@ -51,9 +58,13 @@ def dense_gat_attention(
     el2 = el[..., 0]  # (N, H)
     er2 = er[..., 0]  # (N, H)
     x = jnp.moveaxis(feat_src, 1, 0)  # (H, N, F)
+    h = el2.shape[1]
+    head_keys = jax.random.split(
+        attn_drop_rng if attn_drop_rate > 0.0 else jax.random.key(0), h
+    )
 
     def per_head(args):
-        el_h, er_h, x_h = args  # (N,), (N,), (N, F)
+        el_h, er_h, x_h, key = args  # (N,), (N,), (N, F), key
         s = el_h[None, :] + er_h[:, None]  # (N_dst, N_src)
         s = jnp.where(s >= 0, s, negative_slope * s)
         # Stability shift by the per-row max over actual neighbors. The exp
@@ -68,11 +79,16 @@ def dense_gat_attention(
         e = counts * jnp.exp(masked - m)  # multiplicity-weighted exp
         denom = jnp.maximum(e.sum(axis=1, keepdims=True), jnp.finfo(s.dtype).tiny)
         alpha = e / denom  # (N_dst, N_src)
+        if attn_drop_rate > 0.0:
+            keep = jax.random.bernoulli(
+                key, 1.0 - attn_drop_rate, alpha.shape
+            )
+            alpha = jnp.where(keep, alpha / (1.0 - attn_drop_rate), 0.0)
         return jnp.dot(alpha, x_h, preferred_element_type=jnp.float32).astype(
             x_h.dtype
         )
 
-    out = jax.lax.map(per_head, (el2.T, er2.T, x))  # (H, N, F)
+    out = jax.lax.map(per_head, (el2.T, er2.T, x, head_keys))  # (H, N, F)
     return jnp.moveaxis(out, 0, 1)  # (N, H, F)
 
 

@@ -302,3 +302,60 @@ def test_sparse_attention_rowmask_interpret_agrees(setup, rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
         )
+
+
+def test_gat_attn_drop_applied(rng):
+    """attn_drop now actually applies (DGL semantics): deterministic mode
+    matches no-dropout; train mode perturbs the output and keeps its
+    expectation close; grads stay finite. Covers the dense path and the
+    large-graph edge-domain path."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GATConv
+
+    n = 60
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    g = StaticGraph(np.stack([src, dst], 1), None, n)
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+
+    for impl in ("dense", "sparse"):
+        conv = GATConv(12, 8, num_heads=2, attn_drop=0.5, impl=impl)
+        params = conv.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            g, x,
+        )
+        base = conv.apply(params, g, x, deterministic=True)
+        ref = GATConv(12, 8, num_heads=2, impl=impl).apply(params, g, x)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+        outs = [
+            conv.apply(
+                params, g, x, deterministic=False,
+                rngs={"dropout": jax.random.key(i)},
+            )
+            for i in range(20)
+        ]
+        # Dropout changes individual draws...
+        assert not np.allclose(np.asarray(outs[0]), np.asarray(base))
+        # ...but is unbiased: the mean over draws approaches the
+        # deterministic output.
+        mean = np.mean([np.asarray(o) for o in outs], axis=0)
+        err = np.abs(mean - np.asarray(base)).mean()
+        scale = np.abs(np.asarray(base)).mean()
+        assert err < 0.35 * scale
+
+        gr = jax.grad(
+            lambda p: jnp.sum(
+                conv.apply(
+                    p, g, x, deterministic=False,
+                    rngs={"dropout": jax.random.key(7)},
+                )
+                ** 2
+            )
+        )(params)
+        for leaf in jax.tree_util.tree_leaves(gr):
+            assert bool(jnp.isfinite(leaf).all())
