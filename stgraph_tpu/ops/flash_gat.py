@@ -69,6 +69,11 @@ FLASH_MAX_PLANE_BYTES = 6 * 1024**3
 
 _SIDE = 128  # extra lane tile appended to each gather plane
 
+# Edge-chunk granularity of the flash kernels (independent of the
+# rowmask kernels' EDGE_CHUNK): larger chunks amortize the per-chunk
+# mask/score fixed costs; VMEM cost is 2 slabs of (chunk, f_pad+128).
+_FLASH_CHUNK = EDGE_CHUNK
+
 
 def flash_supported(heads: int, f: int) -> bool:
     """Tiling constraints: whole head groups per 128-lane tile, and the
@@ -131,6 +136,7 @@ def _flash_fwd_kernel(
     f_flat: int,
     n_ft: int,
     slope: float,
+    ch: int,
 ):
     rb = pl.program_id(0)
     a0 = astart_ref[rb]
@@ -145,9 +151,9 @@ def _flash_fwd_kernel(
     )
 
     def dma(slot, i):
-        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        off = pl.multiple_of(a0 + i * ch, _ALIGN)
         return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(off, EDGE_CHUNK), :], slab.at[slot], sem.at[slot]
+            plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
         )
 
     @pl.when(nck > 0)
@@ -156,7 +162,7 @@ def _flash_fwd_kernel(
 
     acc[...] = jnp.zeros_like(acc)
     den_acc[...] = jnp.zeros_like(den_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
     spreads = _spreads(h, f, n_ft)
 
     def body(i, _):
@@ -167,7 +173,7 @@ def _flash_fwd_kernel(
             dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
         dma(slot, i).wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * EDGE_CHUNK)
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
         sl = slab[slot]
@@ -179,7 +185,7 @@ def _flash_fwd_kernel(
             side_ref[...],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (CHUNK, 2h): one-hot columns -> exact per-edge er/m
         s = el + erm[:, :h]
         s = jnp.where(s >= 0, s, slope * s)
@@ -191,7 +197,7 @@ def _flash_fwd_kernel(
             w,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         for t in range(n_ft):
             w_lane = jax.lax.dot_general(
@@ -235,6 +241,7 @@ def _flash_bwd_a_kernel(
     f_flat: int,
     n_ft: int,
     slope: float,
+    ch: int,
 ):
     """Pass A (forward CSR, rows = destinations): der only.
 
@@ -257,9 +264,9 @@ def _flash_bwd_a_kernel(
     )
 
     def dma(slot, i):
-        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        off = pl.multiple_of(a0 + i * ch, _ALIGN)
         return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(off, EDGE_CHUNK), :], slab.at[slot], sem.at[slot]
+            plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
         )
 
     @pl.when(nck > 0)
@@ -267,7 +274,7 @@ def _flash_bwd_a_kernel(
         dma(0, 0).start()
 
     der_acc[...] = jnp.zeros_like(der_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
     spreads = _spreads(h, f, n_ft)
 
     def body(i, _):
@@ -278,7 +285,7 @@ def _flash_bwd_a_kernel(
             dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
         dma(slot, i).wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * EDGE_CHUNK)
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
         sl = slab[slot]
@@ -290,13 +297,13 @@ def _flash_bwd_a_kernel(
             side_ref[...],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (CHUNK, 3h)
         s = el + emc[:, :h]
         lp = jnp.where(s >= 0, 1.0, slope)
         s = jnp.where(s >= 0, s, slope * s)
         w = jnp.exp(jnp.minimum(s - emc[:, h : 2 * h], 0.0))
-        dw = jnp.zeros((EDGE_CHUNK, h), jnp.float32)
+        dw = jnp.zeros((ch, h), jnp.float32)
         for t in range(n_ft):
             gu_t = jax.lax.dot_general(
                 msd,
@@ -319,7 +326,7 @@ def _flash_bwd_a_kernel(
             ds0,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         return ()
 
@@ -347,6 +354,7 @@ def _flash_bwd_b_kernel(
     f_flat: int,
     n_ft: int,
     slope: float,
+    ch: int,
 ):
     """Pass B (transpose CSR, rows = sources): d feat_src and dl.
 
@@ -369,9 +377,9 @@ def _flash_bwd_b_kernel(
     )
 
     def dma(slot, i):
-        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        off = pl.multiple_of(a0 + i * ch, _ALIGN)
         return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(off, EDGE_CHUNK), :], slab.at[slot], sem.at[slot]
+            plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
         )
 
     @pl.when(nck > 0)
@@ -380,7 +388,7 @@ def _flash_bwd_b_kernel(
 
     dfs_acc[...] = jnp.zeros_like(dfs_acc)
     dl_acc[...] = jnp.zeros_like(dl_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
     spreads = _spreads(h, f, n_ft)
 
     def body(i, _):
@@ -391,7 +399,7 @@ def _flash_bwd_b_kernel(
             dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
         dma(slot, i).wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * EDGE_CHUNK)
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
         sl = slab[slot]
@@ -408,13 +416,13 @@ def _flash_bwd_b_kernel(
             el_ref[...],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (CHUNK, h)
         s = el_e + er_e
         lp = jnp.where(s >= 0, 1.0, slope)
         s = jnp.where(s >= 0, s, slope * s)
         w = jnp.exp(jnp.minimum(s - m_e, 0.0))
-        dw = jnp.zeros((EDGE_CHUNK, h), jnp.float32)
+        dw = jnp.zeros((ch, h), jnp.float32)
         for t in range(n_ft):
             w_lane = jax.lax.dot_general(
                 w,
@@ -453,7 +461,7 @@ def _flash_bwd_b_kernel(
             ds0,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         return ()
 
@@ -505,8 +513,8 @@ def flash_gat_attention(
 
     if csr_t is None:
         csr_t = csr.transpose()
-    meta = row_block_meta(csr)
-    meta_t = row_block_meta(csr_t)
+    meta = row_block_meta(csr, _FLASH_CHUNK)
+    meta_t = row_block_meta(csr_t, _FLASH_CHUNK)
     bs3, be3 = _common_specs(meta)
     bs3_t, be3_t = _common_specs(meta_t)
 
@@ -542,7 +550,7 @@ def flash_gat_attention(
             jax.ShapeDtypeStruct((meta_.num_rows_padded, wdt), jnp.float32)
             for wdt in n_out
         )
-        scratch = [pltpu.VMEM((2, EDGE_CHUNK, ftot), sdt)]
+        scratch = [pltpu.VMEM((2, _FLASH_CHUNK, ftot), sdt)]
         scratch += [
             pltpu.VMEM((ROW_BLOCK, wdt), jnp.float32) for wdt in n_out
         ]
@@ -557,7 +565,7 @@ def flash_gat_attention(
         return pl.pallas_call(
             functools.partial(
                 kernel, h=h, f=f if h > 1 else 128, f_flat=f_pad,
-                n_ft=n_ft, slope=slope, **kw
+                n_ft=n_ft, slope=slope, ch=_FLASH_CHUNK, **kw
             ),
             out_shape=out_shape,
             grid_spec=grid_spec,

@@ -92,9 +92,20 @@ class RowBlockMeta(NamedTuple):
         return self.astart.shape[0]
 
 
-def row_block_meta(csr: CSR) -> RowBlockMeta:
-    """Build (and cache on the CSR object) the row-block position ranges."""
-    cached = getattr(csr, "_row_block_meta", None)
+def row_block_meta(csr: CSR, chunk: int = EDGE_CHUNK) -> RowBlockMeta:
+    """Build (and cache on the CSR object) the row-block position ranges.
+
+    ``chunk`` sets the edge-chunk granularity the consuming kernel streams
+    at (cached per value): larger chunks amortize per-chunk fixed costs
+    (mask iota, small dots, DMA issue) at the price of more VMEM and more
+    overshoot on short rows.
+    """
+    attr = (
+        "_row_block_meta"
+        if chunk == EDGE_CHUNK
+        else f"_row_block_meta_{chunk}"
+    )
+    cached = getattr(csr, attr, None)
     if cached is not None:
         return cached
     indptr, _, _, _ = csr.host_arrays()
@@ -107,7 +118,7 @@ def row_block_meta(csr: CSR) -> RowBlockMeta:
     hi = np.minimum(lo + ROW_BLOCK, n)
     astart = (indptr[lo] // _ALIGN) * _ALIGN
     span = indptr[hi] - astart
-    nchunks = (span + EDGE_CHUNK - 1) // EDGE_CHUNK
+    nchunks = (span + chunk - 1) // chunk
 
     # Row ranges in chunk-local coordinates. Rows beyond n get (0, 0).
     rows = np.minimum(
@@ -119,10 +130,10 @@ def row_block_meta(csr: CSR) -> RowBlockMeta:
     bs[empty] = 0
     be[empty] = 0
 
-    # EDGE_CHUNK-aligned so whole-plane passes (e.g. the bwd kernel's dw
+    # Chunk-aligned so whole-plane passes (e.g. the bwd kernel's dw
     # zeroing) can walk it in full chunks.
     cap_pad = _round_up(
-        int(max((astart + nchunks * EDGE_CHUNK).max(), EDGE_CHUNK)), EDGE_CHUNK
+        int(max((astart + nchunks * chunk).max(), chunk)), chunk
     )
     meta = RowBlockMeta(
         astart=astart.astype(np.int32),
@@ -135,7 +146,7 @@ def row_block_meta(csr: CSR) -> RowBlockMeta:
         cap_pad=cap_pad,
         num_rows_padded=n_pad,
     )
-    object.__setattr__(csr, "_row_block_meta", meta)
+    object.__setattr__(csr, attr, meta)
     return meta
 
 

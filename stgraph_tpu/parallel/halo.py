@@ -369,6 +369,8 @@ def dist_gat_attention(
     feat_src: jnp.ndarray,  # (P·Ns, H, F) node-sharded
     negative_slope: float = 0.2,
     axis: str = "graph",
+    impl: str = "jnp",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Edge-partitioned GAT attention: one fused halo exchange, then a
     fully shard-local segment softmax + weighted aggregation.
@@ -386,6 +388,17 @@ def dist_gat_attention(
     h = el.shape[-1]
     f = feat_src.shape[-1]
     slope = negative_slope
+    use_pallas = impl == "pallas"
+    if use_pallas:
+        if dg.local_rowmask is None:
+            raise ValueError(
+                "impl='pallas' requires rowmask layouts; rebuild the "
+                "DistGraph with partition_edges()"
+            )
+        if h > 1 and (128 % f != 0 or (h * f) % 128 != 0):
+            raise ValueError(
+                "pallas dist GAT needs 128 % F == 0 and H*F % 128 == 0"
+            )
 
     @partial(
         shard_map,
@@ -393,13 +406,15 @@ def dist_gat_attention(
         in_specs=(
             tuple(P(axis) for _ in dg.send_idx_by_d),
             P(axis),  # local_csr
+            P(axis),  # local_rowmask dict ({} when unused)
             P(axis, None),  # el
             P(axis, None),  # er
             P(axis, None, None),  # feat_src
         ),
         out_specs=P(axis, None, None),
+        check_vma=not use_pallas,
     )
-    def _fwd(send_idx_by_d, local_csr, el_l, er_l, fs_l):
+    def _fwd(send_idx_by_d, local_csr, lrm, el_l, er_l, fs_l):
         c = jax.tree_util.tree_map(lambda x: x[0], local_csr)
         csr = CSR(
             indptr=c.indptr, rows=c.rows, cols=c.cols, eids=c.eids,
@@ -422,10 +437,52 @@ def dist_gat_attention(
             seg.segment_sum(w, csr.rows, ns, edge_mask=csr.rows < ns),
             jnp.finfo(jnp.float32).tiny,
         )
+        if use_pallas:
+            # The wide (E, H·F) aggregation — the expensive reduction —
+            # runs on the per-shard rowmask kernel; the narrow score /
+            # max / normalizer glue above stays jnp (differentiable, and
+            # a small fraction of the per-shard bytes).
+            from stgraph_tpu.ops.segment_pallas import spmm_rowmask_traced
+
+            cap = csr.cols.shape[0]
+            cap_pad = dg.local_cap_pad
+            w_pad = jnp.pad(w, ((0, cap_pad - cap), (0, 0)))
+            gathered = fs_wide[csr.cols].reshape(cap, h * f)
+            gathered = jnp.pad(gathered, ((0, cap_pad - cap), (0, 0)))
+
+            @jax.custom_vjp
+            def sg(gath, w_arg):
+                out, _ = spmm_rowmask_traced(
+                    lrm["astart"][0], lrm["nchunks"][0],
+                    lrm["bs"][0], lrm["be"][0],
+                    w_arg, gath, heads=h, interpret=interpret,
+                )
+                return out[:ns, : h * f]
+
+            def sg_fwd(gath, w_arg):
+                return sg(gath, w_arg), (gath, w_arg)
+
+            def sg_bwd(res, g):
+                gath, w_arg = res
+                rows_pad = jnp.pad(csr.rows, (0, cap_pad - cap),
+                                   constant_values=ns)
+                gd = g[jnp.clip(rows_pad, 0, ns - 1)]
+                gd = jnp.where((rows_pad < ns)[:, None], gd, 0.0)
+                wk = jnp.repeat(w_arg, f, axis=1)
+                dgath = gd * wk
+                dw = jnp.sum(
+                    (gath * gd).reshape(cap_pad, h, f), axis=-1
+                )
+                return dgath.astype(gath.dtype), dw
+
+            sg.defvjp(sg_fwd, sg_bwd)
+            u = sg(gathered, w_pad).reshape(ns, h, f)
+            return u / denom[:, :, None]
         msg = fs_wide[csr.cols].reshape(-1, h, f) * w[..., None]
         u = seg.segment_sum(
             msg.reshape(-1, h * f), csr.rows, ns, edge_mask=csr.rows < ns
         ).reshape(ns, h, f)
         return u / denom[:, :, None]
 
-    return _fwd(dg.send_idx_by_d, dg.local_csr, el, er, feat_src)
+    lrm = dg.local_rowmask if use_pallas else {}
+    return _fwd(dg.send_idx_by_d, dg.local_csr, lrm, el, er, feat_src)

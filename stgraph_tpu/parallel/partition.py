@@ -89,6 +89,8 @@ class DistGraph(NamedTuple):
     blocked_rows_padded: int
     interior_rowmask: Optional[Dict[str, np.ndarray]]
     frontier_rowmask: Optional[Dict[str, np.ndarray]]
+    local_rowmask: Optional[Dict[str, np.ndarray]]
+    local_cap_pad: int
     rowmask_rows_padded: int
     interior_cap_pad: int
     frontier_cap_pad: int
@@ -230,6 +232,7 @@ def partition_edges(
     fro_blk, _ = _stack_blocked(fro_csrs)
     int_rm, rm_rows, cap_pad_i = _stack_rowmask(int_csrs)
     fro_rm, _, cap_pad_f = _stack_rowmask(fro_csrs)
+    loc_rm, _, cap_pad_l = _stack_rowmask(csrs)
     # Slot maps local->interior/frontier order, for routing per-edge data
     # (weights) without a second user-order gather at runtime.
     gl = np.stack(gids_l)
@@ -258,6 +261,8 @@ def partition_edges(
         blocked_rows_padded=rows_padded,
         interior_rowmask=int_rm,
         frontier_rowmask=fro_rm,
+        local_rowmask=loc_rm,
+        local_cap_pad=cap_pad_l,
         rowmask_rows_padded=rm_rows,
         interior_cap_pad=cap_pad_i,
         frontier_cap_pad=cap_pad_f,

@@ -452,3 +452,51 @@ def test_dist_spmm_pallas_weighted_singlehead(rng):
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_jnp), rtol=1e-4, atol=1e-4
     )
+
+
+def test_dist_gat_pallas_matches_jnp(rng):
+    """dist_gat_attention with the per-shard rowmask aggregation
+    (interpret) == the jnp per-shard path, values and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stgraph_tpu.parallel import partition_edges, shard_node_array
+    from stgraph_tpu.parallel.halo import dist_gat_attention
+
+    n, e, p, h, f = 96, 500, 4, 2, 64
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dg = partition_edges(src, dst, n, p)
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    els = shard_node_array(mesh, el, dg)
+    ers = shard_node_array(mesh, er, dg)
+    fss = shard_node_array(mesh, fs, dg)
+
+    out_j = dist_gat_attention(mesh, dg, els, ers, fss)
+    out_p = dist_gat_attention(
+        mesh, dg, els, ers, fss, impl="pallas", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_j), rtol=1e-4, atol=1e-4
+    )
+
+    def loss(impl):
+        def f_(a, b, c):
+            out = dist_gat_attention(
+                mesh, dg, a, b, c, impl=impl,
+                interpret=impl == "pallas",
+            )
+            return jnp.sum(out**2)
+
+        return f_
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(els, ers, fss)
+    gj = jax.grad(loss("jnp"), argnums=(0, 1, 2))(els, ers, fss)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
