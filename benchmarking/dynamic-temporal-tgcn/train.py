@@ -18,9 +18,12 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(
-    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-)
+try:  # installed package (pip install -e .) or raw-checkout fallback
+    import stgraph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(
+        0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    )
 
 import argparse
 import time
@@ -29,7 +32,18 @@ import numpy as np
 
 
 class _SyntheticDTDG:
-    """Adapter over dataset_builder.py JSON: lags-windowed degree features."""
+    """Adapter over DTDG JSON: lags-windowed degree features.
+
+    Understands both on-disk schemas:
+
+      * snapshot lists (``dataset_builder.py``): ``edge_index[t]`` is the
+        full edge list of timestamp t;
+      * SNAP update streams (``preprocessing.py``, the reference's
+        ``preprocess_temporal_data.py`` schema): ``edge_index[t]`` is
+        ``{"add": [...], "delete": [...], "neg": [...]}`` — replayed here
+        into per-timestamp snapshots (the reference replays the same deltas
+        inside its DynamicGraph ABC).
+    """
 
     def __init__(self, path: str, lags: int) -> None:
         import json
@@ -38,9 +52,20 @@ class _SyntheticDTDG:
             data = json.load(fh)
         t_count = int(data["time_periods"])
         em = data["edge_mapping"]
-        self._edges = [
-            [tuple(e) for e in em["edge_index"][str(t)]] for t in range(t_count)
-        ]
+        first = em["edge_index"][str(0)]
+        if isinstance(first, dict):  # add/delete update stream
+            self._edges = []
+            current: set = set()
+            for t in range(t_count):
+                upd = em["edge_index"][str(t)]
+                current |= {tuple(e) for e in upd["add"]}
+                current -= {tuple(e) for e in upd.get("delete", [])}
+                self._edges.append(sorted(current))
+        else:
+            self._edges = [
+                [tuple(e) for e in em["edge_index"][str(t)]]
+                for t in range(t_count)
+            ]
         ws = em.get("edge_weight", {})
         self._weights = [
             ws.get(str(t), [1.0] * len(self._edges[t])) for t in range(t_count)

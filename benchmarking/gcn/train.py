@@ -11,9 +11,12 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(
-    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-)
+try:  # installed package (pip install -e .) or raw-checkout fallback
+    import stgraph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(
+        0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    )
 
 import argparse
 import time

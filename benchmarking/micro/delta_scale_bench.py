@@ -17,7 +17,10 @@ import argparse
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+try:  # installed package (pip install -e .) or raw-checkout fallback
+    import stgraph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, __file__.rsplit("/", 3)[0])
 
 import numpy as np
 

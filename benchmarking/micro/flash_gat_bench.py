@@ -11,7 +11,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+try:  # installed package (pip install -e .) or raw-checkout fallback
+    import stgraph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, __file__.rsplit("/", 3)[0])
 
 import numpy as np
 

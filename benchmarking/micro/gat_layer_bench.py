@@ -1,5 +1,9 @@
 """TPU bench: large-graph GAT layer, fused sparse path vs vertex-program path."""
-import sys; sys.path.insert(0, "/root/repo")
+import sys
+try:  # installed package (pip install -e .) or raw-checkout fallback
+    import stgraph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import time
 import numpy as np
 import jax

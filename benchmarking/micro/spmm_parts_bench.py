@@ -9,7 +9,10 @@ Informs the gather-fusion work (VERDICT round-1 item 1).
 
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+try:  # installed package (pip install -e .) or raw-checkout fallback
+    import stgraph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, __file__.rsplit("/", 3)[0])
 
 import numpy as np
 
