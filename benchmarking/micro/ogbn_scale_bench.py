@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--reorder",
+        action="store_true",
+        help="apply the label-propagation gather-locality relabeling "
+        "(graph/reorder.py) before CSR construction",
+    )
     args = ap.parse_args()
 
     import jax
@@ -47,15 +53,24 @@ def main() -> None:
     from stgraph_tpu.utils.norm import symmetric_norm
 
     t0 = time.perf_counter()
-    d = OgbNodeDataLoader("ogbn-products", scale=args.scale)
+    d = OgbNodeDataLoader(
+        "ogbn-products", scale=args.scale, reorder=args.reorder
+    )
     print(
-        f"load ({'SYNTHETIC' if d.synthetic else 'real'}): "
+        f"load ({'SYNTHETIC' if d.synthetic else 'real'}"
+        f"{', reordered' if args.reorder else ''}): "
         f"{d.gdata} in {time.perf_counter()-t0:.1f}s",
         flush=True,
     )
     n, e = d.gdata["num_nodes"], d.gdata["num_edges"]
     f, classes = d.gdata["num_feats"], d.gdata["num_classes"]
     ei = d.get_edge_index()
+    if args.reorder:
+        from stgraph_tpu.graph.reorder import gather_working_set
+
+        # Region ~= the 512 MB gathered-feature segment the kernel streams.
+        ws = gather_working_set(ei[1], ei[0], n, region_edges=1 << 20)
+        print(f"gather working set after reorder: {ws/1e6:.1f} MB/region")
 
     t0 = time.perf_counter()
     csr = build_csr(ei[0], ei[1], n)

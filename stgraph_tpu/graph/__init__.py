@@ -11,6 +11,7 @@ from stgraph_tpu.graph.static_graph import StaticGraph
 from stgraph_tpu.graph.dynamic_graph import DynamicGraph
 from stgraph_tpu.graph.naive_graph import NaiveGraph
 from stgraph_tpu.graph.delta_graph import DeltaGraph
+from stgraph_tpu.graph.reorder import locality_order, relabel_edges
 
 __all__ = [
     "CSR",
@@ -19,5 +20,7 @@ __all__ = [
     "NaiveGraph",
     "StaticGraph",
     "build_csr",
+    "locality_order",
+    "relabel_edges",
     "round_up",
 ]

@@ -15,7 +15,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "build_csr_arrays", "build_blocked_arrays"]
+__all__ = [
+    "available",
+    "build_csr_arrays",
+    "build_blocked_arrays",
+    "reorder_locality",
+]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libgraph_builder.so")
@@ -28,16 +33,22 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src_path = os.path.join(_DIR, "graph_builder.cpp")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src_path)
+        and os.path.getmtime(src_path) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", _DIR, "-s"],
+                ["make", "-C", _DIR, "-s", "-B"],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -59,6 +70,11 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, i32p, i32p, i32p,
     ]
     lib.build_blocked.restype = ctypes.c_int
+    if hasattr(lib, "reorder_locality"):  # older cached .so may predate it
+        lib.reorder_locality.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+        ]
+        lib.reorder_locality.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -132,3 +148,21 @@ def build_blocked_arrays(
     if rc != 0:
         return None
     return offsets, counts, bdst, bcols, bperm, beids
+
+
+def reorder_locality(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> Optional[np.ndarray]:
+    """Greedy max-connectivity locality order via the native builder, or
+    None. Returns ``order`` with ``order[k]`` = old node id at position k.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "reorder_locality"):
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    order = np.empty(num_nodes, np.int32)
+    rc = lib.reorder_locality(src, dst, len(src), num_nodes, order)
+    if rc != 0:
+        return None
+    return order
