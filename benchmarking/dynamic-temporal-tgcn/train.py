@@ -169,8 +169,10 @@ def main() -> None:
         init_store = G.snapshot_store(lags - 1)
         if args.type == "pma-scan":
             # PMA chunked layout: O(delta) in-place updates with slack
-            # (graph/pma_store.py). Host-build from the flat snapshot.
-            from stgraph_tpu.graph.pma_store import pma_from_edges
+            # (graph/pma_store.py), maintained in BOTH edge orders so the
+            # row-id Pallas kernels serve forward and backward aggregation
+            # (ops/dyn_spmm.py). Host-build from the flat snapshot.
+            from stgraph_tpu.ops.dyn_spmm import pma_pair_from_edges
 
             rows0 = np.asarray(init_store.rows)
             cols0 = np.asarray(init_store.cols)
@@ -182,7 +184,7 @@ def main() -> None:
             live = rows0 < G.get_num_nodes()
             S = 256
             C = max((G._capacity + S - 1) // S * 2, 2)
-            init_pma = pma_from_edges(
+            init_pma = pma_pair_from_edges(
                 cols0[live], rows0[live], G.get_num_nodes(),
                 num_chunks=C, chunk_size=S,
                 weights=None if w0 is None else w0[live],
@@ -243,38 +245,43 @@ def main() -> None:
     def epoch_step(params, opt_state, key):
         def loss_fn(params):
             if args.type == "pma-scan":
-                from stgraph_tpu.graph.delta_graph import (
-                    EdgeStore,
-                    edge_store_to_csr,
-                )
-                from stgraph_tpu.graph.pma_store import (
-                    PMAStore,
-                    apply_delta_pma,
-                )
-
-                weighted = staged_add_w is not None
+                from stgraph_tpu.ops.dyn_spmm import apply_delta_pair
 
                 def body(carry, xs):
-                    hidden, key, st = carry
+                    hidden, key, pair = carry
                     add, dele, add_w, x_t = xs
-                    st = apply_delta_pma(
-                        st,
-                        add[:, 1], add[:, 0],  # row = dst
-                        dele[:, 1], dele[:, 0],
+                    pair = apply_delta_pair(
+                        pair,
+                        add[:, 0], add[:, 1],
+                        dele[:, 0], dele[:, 1],
                         add_weights=add_w,
                     )
-                    rows_f, cols_f, w_f = st.flatten()
-                    # The flat PMA view has interspersed sentinel slots;
-                    # the in-scan jnp aggregation path is mask-based, so
-                    # the unsorted-padding CSR is fine.
-                    csr_t = edge_store_to_csr(
-                        EdgeStore(rows_f, cols_f, st.num_edges, n, w_f)
+                    # The model consumes the pair directly: GCNConv routes
+                    # to the row-id-masked kernels (ops/dyn_spmm.py) —
+                    # weights ride the store. Link-prediction edges come
+                    # from the fwd store's flat view (sentinels masked).
+                    hidden = model.apply(params, pair, x_t, hidden=hidden)
+                    rows_f, cols_f, _ = pair.fwd.flatten()
+                    key, k1, k2 = jax.random.split(key, 3)
+                    pos = decode(
+                        hidden,
+                        jnp.minimum(cols_f, n - 1),
+                        jnp.minimum(rows_f, n - 1),
                     )
-                    w_t = w_f.reshape(-1, 1) if weighted else None
-                    hidden, key, loss = step_loss(
-                        params, hidden, key, csr_t, x_t, w_t
+                    neg_s = jax.random.randint(k1, cols_f.shape, 0, n)
+                    neg_d = jax.random.randint(k2, cols_f.shape, 0, n)
+                    neg = decode(hidden, neg_s, neg_d)
+                    mask = rows_f < n
+                    pos_l = optax.sigmoid_binary_cross_entropy(
+                        pos, jnp.ones_like(pos)
                     )
-                    return (hidden, key, st), loss
+                    neg_l = optax.sigmoid_binary_cross_entropy(
+                        neg, jnp.zeros_like(neg)
+                    )
+                    loss = jnp.sum(
+                        jnp.where(mask, pos_l + neg_l, 0.0)
+                    ) / jnp.maximum(mask.sum(), 1)
+                    return (hidden, key, pair), loss
 
                 init = (jnp.zeros((n, args.num_hidden)), key, init_pma)
                 xs = (staged_add, staged_del, staged_add_w, feats)

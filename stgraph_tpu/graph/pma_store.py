@@ -33,7 +33,8 @@ positional rowmask kernels require gap-free CSR order; materialize via
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from dataclasses import dataclass, field
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,15 +43,40 @@ import numpy as np
 __all__ = ["PMAStore", "pma_init", "apply_delta_pma", "pma_from_edges"]
 
 
-class PMAStore(NamedTuple):
-    """Chunked sorted edge store. Keys are (row, col); sentinel row == n."""
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class PMAStore:
+    """Chunked sorted edge store. Keys are (row, col); sentinel row == n.
+
+    ``num_nodes`` is pytree AUX DATA (static): it sizes kernel shapes, so
+    it must stay a Python int through ``lax.scan`` carries (same design as
+    ``graph.csr.CSR``).
+    """
 
     rows: jnp.ndarray  # (C, S) int32, per-chunk sorted, tail sentinels
     cols: jnp.ndarray  # (C, S) int32
     counts: jnp.ndarray  # (C,) int32 live entries per chunk
     num_edges: jnp.ndarray  # () int32
-    num_nodes: int  # static
+    num_nodes: int = field(metadata={"static": True})
     weights: Optional[jnp.ndarray] = None  # (C, S) f32 or None
+
+    def tree_flatten(self):
+        children = (
+            self.rows, self.cols, self.counts, self.num_edges, self.weights
+        )
+        return children, (self.num_nodes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rows, cols, counts, num_edges, weights = children
+        return cls(
+            rows=rows,
+            cols=cols,
+            counts=counts,
+            num_edges=num_edges,
+            num_nodes=aux[0],
+            weights=weights,
+        )
 
     @property
     def capacity(self) -> int:

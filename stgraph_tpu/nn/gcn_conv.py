@@ -51,6 +51,36 @@ class GCNConv(fnn.Module):
             (self.in_feats, self.out_feats),
             jnp.float32 if self.dtype is not None else h.dtype,
         )
+        from stgraph_tpu.ops.dyn_spmm import PMAGraphPair
+
+        if isinstance(graph, PMAGraphPair):
+            # Traced dynamic-store path (in-scan structure mutation): the
+            # row-id-masked kernel aggregates directly from the PMA layout;
+            # per-step norms come from the scatter-free degree kernel. Edge
+            # weights ride the store itself (``pma_spmm`` applies them), so
+            # the argument is rejected to avoid double application.
+            if edge_weight is not None:
+                raise ValueError(
+                    "PMAGraphPair carries edge weights in the store; "
+                    "pass them at pma_pair_from_edges/apply_delta_pair time"
+                )
+            from stgraph_tpu.ops.dyn_spmm import pma_norm, pma_spmm
+
+            norm = pma_norm(graph)
+            h = jnp.dot(
+                h, weight, preferred_element_type=jnp.float32
+            ).astype(h.dtype)
+            h = pma_spmm(graph, h * norm) * norm
+            if self.use_bias:
+                bias = self.param(
+                    "bias", fnn.initializers.zeros_init(),
+                    (self.out_feats,), h.dtype,
+                )
+                h = h + bias
+            if self.activation is not None:
+                h = self.activation(h)
+            return h
+
         norm = _get_norm(graph)
         if self.dtype is not None:
             h = h.astype(self.dtype)

@@ -52,6 +52,8 @@ __all__ = [
     "segment_max_wide",
     "spmm_rowmask",
     "spmm_rowmask_bwd",
+    "spmm_rowid_traced",
+    "traced_block_meta",
     "MAX_NARROW_K",
 ]
 
@@ -1569,6 +1571,320 @@ def spmm_rowmask_bwd(
     dh = jnp.concatenate(outs, axis=0)[:n, :f_flat]
     dw = dw_full[:heads, :cap].T
     return dh, dw
+
+
+# ---------------------------------------------------------------------------
+# Row-id-masked SpMM over TRACED dynamic stores (PMA / flat delta).
+# ---------------------------------------------------------------------------
+
+
+def traced_block_meta(
+    rows_flat: jnp.ndarray, num_nodes: int, chunk: int = EDGE_CHUNK
+):
+    """Per-row-block (astart, nchunks) from a TRACED flat edge store.
+
+    Works for any "live-sorted" flat layout: live entries (row < n) are
+    globally nondecreasing by row, with sentinel slots (row == n)
+    interspersed anywhere — the PMA store's chunk tails, or the flat delta
+    store's tail padding. No scatters: two monotone envelopes
+    (prefix-max / suffix-min of the live block ids) turn the gapped layout
+    into sorted arrays that ``searchsorted`` can bisect.
+
+    Returns ``(astart, nchunks)`` of shape (NB,) int32 where NB covers
+    ``num_nodes`` rounded up to ROW_BLOCK; chunk reads span
+    ``[astart, astart + nchunks*chunk)`` and the consuming kernel's row-id
+    mask discards out-of-block and sentinel positions. The flat arrays the
+    kernel streams must be padded to at least
+    ``round_up(cap, chunk) + chunk`` so the aligned-down start cannot read
+    out of bounds.
+
+    Reference counterpart: the GPMA template reads the PMA key array
+    directly and skips sentinel slots in-kernel
+    (``stgraph/compiler/code_gen/templates/fa/tpl_fa_gpma.jinja:29-44``);
+    this is that capability for traced, in-scan stores.
+    """
+    n = int(num_nodes)
+    nb = max(_round_up(n, ROW_BLOCK), ROW_BLOCK) // ROW_BLOCK
+    rows = rows_flat.astype(jnp.int32)
+    live = rows < n
+    blk = rows // ROW_BLOCK
+    lo_env = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(live, blk, -1)
+    )  # nondecreasing; lo_env[p] = max live blk at position <= p
+    hi_env = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(live, blk, nb), reverse=True
+    )  # nondecreasing; hi_env[p] = min live blk at position >= p
+    bids = jnp.arange(nb, dtype=jnp.int32)
+    starts = jnp.searchsorted(lo_env, bids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(hi_env, bids, side="right").astype(jnp.int32)
+    astart = (starts // _ALIGN) * _ALIGN
+    span = jnp.maximum(ends - astart, 0)
+    nchunks = jnp.where(
+        ends > starts, (span + chunk - 1) // chunk, 0
+    ).astype(jnp.int32)
+    return astart, nchunks
+
+
+def _spmm_rowid_kernel(
+    astart_ref,  # (NB,) scalar prefetch (traced values allowed)
+    nchunks_ref,  # (NB,)
+    w_ref,  # (K_pad, CAP_pad) HBM f32: rows [0,h) weights, row h = row ids
+    feats_ref,  # (CAP_pad, F_pad) HBM gathered features (flat store order)
+    *refs,  # out_ref [, den_ref], scratches, sems
+    k_pad: int,
+    heads: int,
+    feats_per_head: int,
+    single_head: bool,
+    with_denom: bool,
+    weighted: bool,
+):
+    """Row-ID-masked fused SpMM: the mask comes from the row-id stream.
+
+    One f32 equality compare replaces the positional kernels' two range
+    compares AND tolerates interspersed sentinel slots (row id == n matches
+    no real block row; blocks past n are sliced off by the caller). Row ids
+    ride the spare rows of the (K_pad, E) weight stream as exact f32
+    (requires num_nodes < 2^24), so the mask costs no extra DMA stream.
+    """
+    refs = list(refs)
+    out_ref = refs.pop(0)
+    den_ref = refs.pop(0) if with_denom else None
+    w_scratch = refs.pop(0)
+    feat_scratch = refs.pop(0)
+    acc_scratch = refs.pop(0)
+    den_scratch = refs.pop(0) if with_denom else None
+    w_sem = refs.pop(0)
+    feat_sem = refs.pop(0)
+
+    rb = pl.program_id(0)
+    ft = pl.program_id(1)
+    heads_per_tile = 128 // feats_per_head
+    a0 = astart_ref[rb]
+    nck = nchunks_ref[rb]
+    r0 = (rb * ROW_BLOCK).astype(jnp.float32)
+
+    def dma(slot, i):
+        off = pl.multiple_of(a0 + i * EDGE_CHUNK, _ALIGN)
+        return (
+            pltpu.make_async_copy(
+                w_ref.at[:, pl.ds(off, EDGE_CHUNK)],
+                w_scratch.at[slot],
+                w_sem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                feats_ref.at[pl.ds(off, EDGE_CHUNK), pl.ds(ft * 128, 128)],
+                feat_scratch.at[slot],
+                feat_sem.at[slot],
+            ),
+        )
+
+    @pl.when(nck > 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
+
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    if with_denom:
+
+        @pl.when(ft == 0)
+        def _():
+            den_scratch[...] = jnp.zeros_like(den_scratch)
+
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 0
+    ).astype(jnp.float32)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 128), 1)
+    if weighted:
+        if single_head:
+            spread = (h_ids == 0).astype(jnp.float32)
+        else:
+            spread = (
+                h_ids == ft * heads_per_tile + l_ids // feats_per_head
+            ).astype(jnp.float32)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
+
+        for d in dma(slot, i):
+            d.wait()
+
+        feat_dtype = feat_scratch.dtype
+        exact = feat_dtype == jnp.float32
+        # Row-id mask: rowids ride w row `heads` as exact f32.
+        rowid = w_scratch[slot, heads : heads + 1, :]  # (1, EDGE_CHUNK)
+        m = ((rowid - r0) == row_iota).astype(
+            feat_dtype
+        )  # (ROW_BLOCK, EDGE_CHUNK); sentinels (id n) match no real row
+        if weighted:
+            w_chunk = w_scratch[slot]  # (K_pad, EDGE_CHUNK)
+            w_lane = jax.lax.dot_general(
+                w_chunk,
+                spread,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if exact
+                    else jax.lax.Precision.DEFAULT
+                ),
+            )  # (EDGE_CHUNK, 128)
+            if exact:
+                scaled = (
+                    feat_scratch[slot].astype(jnp.float32) * w_lane
+                ).astype(feat_dtype)
+            else:
+                scaled = feat_scratch[slot] * w_lane.astype(feat_dtype)
+        else:
+            scaled = feat_scratch[slot]
+        acc_scratch[...] += jnp.dot(
+            m, scaled, preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST if exact
+                else jax.lax.Precision.DEFAULT
+            ),
+        )
+        if with_denom:
+
+            @pl.when(ft == 0)
+            def _():
+                den_scratch[:, :k_pad] += jax.lax.dot_general(
+                    m.astype(jnp.float32),
+                    w_chunk,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+        return ()
+
+    jax.lax.fori_loop(0, nck, body, (), unroll=False)
+    out_ref[...] = acc_scratch[...]
+    if with_denom:
+        den_ref[...] = den_scratch[...]
+
+
+def spmm_rowid_traced(
+    rows_flat: jnp.ndarray,  # (cap_pad,) int32, live-sorted w/ sentinels
+    w_flat: Optional[jnp.ndarray],  # (cap_pad,) or (cap_pad, H) or None
+    gathered: jnp.ndarray,  # (cap_pad, F_flat) features in store order
+    num_nodes: int,
+    heads: int = 1,
+    with_denom: bool = False,
+    interpret: bool = False,
+):
+    """Fused (weighted) SpMM over a TRACED flat dynamic store.
+
+    Everything may be traced (PMA store inside ``lax.scan``): block spans
+    come from ``traced_block_meta``, the selection mask from the row-id
+    stream. ``cap_pad`` must be EDGE_CHUNK-aligned with at least one chunk
+    of slack past the last live entry (see ``traced_block_meta``);
+    ``num_nodes < 2^24`` (row ids ride an f32 lane). Sentinel slots must
+    carry finite weights (the store pads with 0) and ``gathered`` rows must
+    be finite (clamp gather ids). Returns ``(out, denom)`` with ``out``
+    (num_rows_padded, F_pad) f32 — slice rows/lanes at the caller; no
+    custom VJP here (see ``ops.dyn_spmm`` for the differentiable wrapper).
+    """
+    cap_pad = gathered.shape[0]
+    if cap_pad % EDGE_CHUNK:
+        raise ValueError("gathered leading dim must be EDGE_CHUNK-aligned")
+    n = int(num_nodes)
+    if n >= (1 << 24):
+        raise ValueError("row-id f32 lanes require num_nodes < 2^24")
+    f_flat = gathered.shape[1]
+    f = f_flat // heads
+    if f * heads != f_flat:
+        raise ValueError("gathered width must be heads * F")
+    if heads > 1 and (128 % f != 0 or f_flat % 128 != 0):
+        raise ValueError("multihead tiling needs 128 % F == 0, H*F % 128 == 0")
+    weighted = w_flat is not None
+    if with_denom and not weighted:
+        raise ValueError("with_denom requires weights")
+    k_pad = max(_round_up(heads + 1, 8), 8)  # +1: the row-id row
+    f_pad = _round_up(max(f_flat, 128), 128)
+    feat_dtype = (
+        jnp.bfloat16 if gathered.dtype == jnp.bfloat16 else jnp.float32
+    )
+    nb = max(_round_up(n, ROW_BLOCK), ROW_BLOCK) // ROW_BLOCK
+    astart, nchunks = traced_block_meta(rows_flat, n)
+
+    gat = gathered.astype(feat_dtype)
+    if f_pad != f_flat:
+        gat = jnp.pad(gat, ((0, 0), (0, f_pad - f_flat)))
+    # Weight stream rows [0, heads) = weights; row `heads` = row ids (f32,
+    # exact for n < 2^24); remaining rows zero.
+    if weighted:
+        w2 = w_flat.reshape(cap_pad, -1).astype(jnp.float32)
+        if w2.shape[1] != heads:
+            raise ValueError("w_flat trailing dim must equal heads")
+    else:
+        w2 = jnp.ones((cap_pad, heads), jnp.float32)
+    wt = jnp.concatenate(
+        [
+            w2,
+            rows_flat.astype(jnp.float32).reshape(cap_pad, 1),
+            jnp.zeros((cap_pad, k_pad - heads - 1), jnp.float32),
+        ],
+        axis=1,
+    ).T  # (K_pad, CAP_pad)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    out_specs = [pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, ft))]
+    out_shape = [jax.ShapeDtypeStruct((nb * ROW_BLOCK, f_pad), jnp.float32)]
+    if with_denom:
+        out_specs.append(
+            pl.BlockSpec((ROW_BLOCK, 128), lambda rb, ft, *_: (rb, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nb * ROW_BLOCK, 128), jnp.float32)
+        )
+    scratch = [
+        pltpu.VMEM((2, k_pad, EDGE_CHUNK), jnp.float32),
+        pltpu.VMEM((2, EDGE_CHUNK, 128), feat_dtype),
+        pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+    ]
+    if with_denom:
+        scratch.append(pltpu.VMEM((ROW_BLOCK, 128), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, f_pad // 128),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    res = pl.pallas_call(
+        functools.partial(
+            _spmm_rowid_kernel,
+            k_pad=k_pad,
+            heads=heads,
+            feats_per_head=f if heads > 1 else 128,
+            single_head=heads == 1,
+            with_denom=with_denom,
+            weighted=weighted,
+        ),
+        out_shape=tuple(out_shape),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cap_pad * f_pad,
+            bytes_accessed=cap_pad
+            * (f_pad * jnp.dtype(feat_dtype).itemsize + 4 * k_pad)
+            + nb * ROW_BLOCK * f_pad * 4,
+            transcendentals=0,
+        ),
+    )(astart, nchunks, wt, gat)
+    if with_denom:
+        return res
+    return res[0], None
 
 
 def _rowmask_segments(meta: RowBlockMeta, f_pad: int, itemsize: int):
