@@ -23,9 +23,23 @@ from stgraph_tpu.parallel.layers import (
     dist_tgcn_params,
 )
 from stgraph_tpu.parallel.partition import DistGraph, partition_edges
+from stgraph_tpu.parallel.dyn import (
+    DistDynGraph,
+    dist_dyn_apply_delta,
+    dist_dyn_degree,
+    dist_dyn_spmm,
+    partition_dynamic,
+    shard_dyn_arrays,
+)
 
 __all__ = [
+    "DistDynGraph",
     "DistGraph",
+    "dist_dyn_apply_delta",
+    "dist_dyn_degree",
+    "dist_dyn_spmm",
+    "partition_dynamic",
+    "shard_dyn_arrays",
     "dist_gat_attention",
     "dist_gat_conv",
     "dist_gat_params",

@@ -1,0 +1,302 @@
+"""Distributed dynamic graphs: shard-local delta replay over a device mesh.
+
+Net-new capability (the reference is single-GPU even for its dynamic
+structures, SURVEY §2.6): destination-range edge partitioning — the same
+ownership rule as ``partition.py`` — applied to an *evolving* graph:
+
+  * every edge belongs to the shard owning its destination row, so a
+    timestep's delta batch routes to shards by ``dst // nodes_per_shard``
+    on the host, once, for all timesteps (``partition_dynamic``);
+  * each shard carries its own flat ``EdgeStore`` (``graph/delta_graph``)
+    and replays its delta slice inside ``shard_map`` — O(local delta) per
+    shard per step, no cross-shard traffic for structure updates;
+  * aggregation all-gathers the (row-sharded) feature table per step
+    (``dist_dyn_spmm``). A *static* graph precomputes exact halo indices
+    (``partition.py``); a mutating edge set would need per-step halo
+    recomputation on device, so the dynamic path ships whole rows instead —
+    the right trade at DTDG scales (England-COVID: 129 nodes; wiki-talk:
+    the feature table is MBs while per-step halo discovery would serialize
+    sorts into the scan).
+
+Everything is jnp inside ``shard_map`` (differentiable through XLA's scan
+transpose); the single-chip row-id Pallas kernels (``ops.dyn_spmm``) cover
+the kernel-speed story for dynamic stores, and compose here later by
+swapping the per-shard segment reduction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stgraph_tpu.graph.delta_graph import EdgeStore, apply_delta
+
+__all__ = [
+    "DistDynGraph",
+    "partition_dynamic",
+    "shard_dyn_arrays",
+    "dist_dyn_apply_delta",
+    "dist_dyn_spmm",
+    "dist_dyn_degree",
+]
+
+
+class DistDynGraph(NamedTuple):
+    """Host-partitioned dynamic graph: per-shard stores + staged deltas.
+
+    Arrays are stacked over shards on the leading axis (shard arrays with
+    ``P('graph')``) or over (time, shard) for the staged deltas.
+
+    Attributes:
+      init_rows/init_cols: (P, cap) int32 — shard-local initial stores,
+        rows are GLOBAL dst ids (each shard's live rows lie in its range),
+        sentinel ``num_nodes`` padding; sorted by (row, col) per shard.
+      init_w: (P, cap) f32 or None.
+      init_ne: (P,) int32 live-edge counts.
+      add_steps/del_steps: (T, P, A, 2) / (T, P, D, 2) int32 (src, dst)
+        with sentinel-``num_nodes`` padding rows.
+      add_w_steps: (T, P, A) f32 or None.
+      num_nodes / nodes_per_shard / num_shards / capacity: static layout.
+    """
+
+    init_rows: np.ndarray
+    init_cols: np.ndarray
+    init_w: Optional[np.ndarray]
+    init_ne: np.ndarray
+    add_steps: np.ndarray
+    del_steps: np.ndarray
+    add_w_steps: Optional[np.ndarray]
+    num_nodes: int
+    nodes_per_shard: int
+    num_shards: int
+    capacity: int
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.nodes_per_shard * self.num_shards
+
+
+def partition_dynamic(
+    init_store: EdgeStore,
+    staged_add: np.ndarray,  # (T, A, 2) global (src, dst), sentinel-padded
+    staged_del: np.ndarray,  # (T, D, 2)
+    staged_add_w: Optional[np.ndarray],  # (T, A) or None
+    num_shards: int,
+    capacity: Optional[int] = None,
+) -> DistDynGraph:
+    """Route the staged deltas and the initial store to dst-owner shards."""
+    n = int(init_store.num_nodes)
+    p = num_shards
+    ns = -(-n // p)
+    rows0 = np.asarray(init_store.rows)
+    cols0 = np.asarray(init_store.cols)
+    w0 = None if init_store.weights is None else np.asarray(init_store.weights)
+    live = rows0 < n
+    if capacity is None:
+        # Worst-case per-shard growth: everything could land on one shard.
+        capacity = max(
+            ((int(live.sum()) + staged_add.shape[0] * staged_add.shape[1])
+             + 511) // 512 * 512,
+            512,
+        )
+
+    init_r = np.full((p, capacity), n, np.int32)
+    init_c = np.full((p, capacity), n, np.int32)
+    init_wp = None if w0 is None else np.zeros((p, capacity), np.float32)
+    init_ne = np.zeros((p,), np.int32)
+    for pp in range(p):
+        sel = live & (rows0 // ns == pp)
+        k = int(sel.sum())
+        if k > capacity:
+            raise ValueError("per-shard capacity too small for initial store")
+        init_r[pp, :k] = rows0[sel]
+        init_c[pp, :k] = cols0[sel]
+        if init_wp is not None:
+            init_wp[pp, :k] = w0[sel]
+        init_ne[pp] = k
+
+    def route(steps, w_steps=None):
+        t, d, _ = steps.shape
+        # Per-shard slot budget = global batch size (worst case one shard
+        # absorbs the whole delta); rows stay (src, dst) with sentinel pad.
+        out = np.full((t, p, d, 2), n, np.int32)
+        out_w = None if w_steps is None else np.zeros((t, p, d), np.float32)
+        for tt in range(t):
+            dsts = steps[tt, :, 1]
+            real = dsts < n
+            owner = np.where(real, dsts // ns, p)
+            for pp in range(p):
+                sel = owner == pp
+                k = int(sel.sum())
+                out[tt, pp, :k] = steps[tt, sel]
+                if out_w is not None:
+                    out_w[tt, pp, :k] = w_steps[tt, sel]
+        return out, out_w
+
+    add_p, add_w_p = route(np.asarray(staged_add), staged_add_w)
+    del_p, _ = route(np.asarray(staged_del))
+    return DistDynGraph(
+        init_rows=init_r,
+        init_cols=init_c,
+        init_w=init_wp,
+        init_ne=init_ne,
+        add_steps=add_p,
+        del_steps=del_p,
+        add_w_steps=add_w_p,
+        num_nodes=n,
+        nodes_per_shard=ns,
+        num_shards=p,
+        capacity=capacity,
+    )
+
+
+def shard_dyn_arrays(mesh: Mesh, ddg: DistDynGraph):
+    """Device-place the carry arrays sharded over the 'graph' axis and the
+    staged deltas sharded on their shard axis (scan xs)."""
+    shard = NamedSharding(mesh, P("graph"))
+    tshard = NamedSharding(mesh, P(None, "graph"))
+    carry = (
+        jax.device_put(jnp.asarray(ddg.init_rows), shard),
+        jax.device_put(jnp.asarray(ddg.init_cols), shard),
+        None
+        if ddg.init_w is None
+        else jax.device_put(jnp.asarray(ddg.init_w), shard),
+        jax.device_put(jnp.asarray(ddg.init_ne), shard),
+    )
+    xs = (
+        jax.device_put(jnp.asarray(ddg.add_steps), tshard),
+        jax.device_put(jnp.asarray(ddg.del_steps), tshard),
+        None
+        if ddg.add_w_steps is None
+        else jax.device_put(jnp.asarray(ddg.add_w_steps), tshard),
+    )
+    return carry, xs
+
+
+def dist_dyn_apply_delta(
+    mesh: Mesh,
+    ddg: DistDynGraph,
+    rows: jnp.ndarray,  # (P, cap)
+    cols: jnp.ndarray,
+    w: Optional[jnp.ndarray],
+    ne: jnp.ndarray,  # (P,)
+    add: jnp.ndarray,  # (P, A, 2)
+    dele: jnp.ndarray,  # (P, D, 2)
+    add_w: Optional[jnp.ndarray],  # (P, A)
+):
+    """Replay one timestep's routed delta on every shard, in parallel."""
+    n = ddg.num_nodes
+    weighted = w is not None
+    has_add_w = add_w is not None
+
+    def body(rows, cols, w_, ne_, add_, dele_, add_w_):
+        store = EdgeStore(
+            rows=rows[0],
+            cols=cols[0],
+            num_edges=ne_[0],
+            num_nodes=n,
+            weights=w_[0] if weighted else None,
+        )
+        out = apply_delta(
+            store,
+            add_[0, :, 1], add_[0, :, 0],  # row = dst
+            dele_[0, :, 1], dele_[0, :, 0],
+            add_weights=add_w_[0] if has_add_w else None,
+        )
+        ow = out.weights[None] if weighted else jnp.zeros((1, 1), jnp.float32)
+        return out.rows[None], out.cols[None], ow, out.num_edges[None]
+
+    spec_e = P("graph", None)
+    in_specs = (
+        spec_e, spec_e,
+        spec_e if weighted else P(),
+        P("graph"),
+        P("graph", None, None), P("graph", None, None),
+        P("graph", None) if add_w is not None else P(),
+    )
+    out_specs = (spec_e, spec_e, spec_e if weighted else P(), P("graph"))
+    w_in = w if weighted else jnp.zeros((1, 1), jnp.float32)
+    aw_in = add_w if add_w is not None else jnp.zeros((1, 1), jnp.float32)
+    rows2, cols2, w2, ne2 = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,  # apply_delta's fori_loop seeds unvarying consts
+    )(rows, cols, w_in, ne, add, dele, aw_in)
+    return rows2, cols2, (w2 if weighted else None), ne2
+
+
+def dist_dyn_spmm(
+    mesh: Mesh,
+    ddg: DistDynGraph,
+    rows: jnp.ndarray,  # (P, cap) global dst ids
+    cols: jnp.ndarray,  # (P, cap) global src ids
+    w: Optional[jnp.ndarray],
+    feats: jnp.ndarray,  # (P*ns, F) row-sharded
+) -> jnp.ndarray:
+    """``out[d] = sum w_e * feats[src_e]`` over the evolving shards.
+
+    Source rows are fetched from an all-gathered feature table (dynamic
+    edges have no precomputable halo); the segment reduction is shard-local
+    because every destination's in-edges live on its owner shard.
+    """
+    n = ddg.num_nodes
+    ns = ddg.nodes_per_shard
+    weighted = w is not None
+
+    def body(rows, cols, w_, h_local):
+        h_full = jax.lax.all_gather(
+            h_local, "graph", axis=0, tiled=True
+        )  # (P*ns, F)
+        pp = jax.lax.axis_index("graph")
+        r = rows[0]
+        c = cols[0]
+        gathered = h_full[jnp.minimum(c, n - 1)]
+        if weighted:
+            gathered = gathered * w_[0][:, None]
+        mask = (r < n)[:, None]
+        gathered = jnp.where(mask, gathered, 0.0)
+        local_r = jnp.where(r < n, r - pp * ns, ns)
+        out = jax.ops.segment_sum(gathered, local_r, num_segments=ns + 1)
+        return out[:ns]
+
+    spec_e = P("graph", None)
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            spec_e, spec_e,
+            spec_e if weighted else P(),
+            P("graph", None),
+        ),
+        out_specs=P("graph", None),
+    )(rows, cols, w if weighted else jnp.zeros((1, 1), jnp.float32), feats)
+    return out
+
+
+def dist_dyn_degree(
+    mesh: Mesh,
+    ddg: DistDynGraph,
+    rows: jnp.ndarray,
+) -> jnp.ndarray:
+    """(P*ns, 1) live in-degree of the evolving graph (shard-local)."""
+    n = ddg.num_nodes
+    ns = ddg.nodes_per_shard
+
+    def body(rows):
+        r = rows[0]
+        pp = jax.lax.axis_index("graph")
+        local_r = jnp.where(r < n, r - pp * ns, ns)
+        deg = jax.ops.segment_sum(
+            jnp.where(r < n, 1.0, 0.0), local_r, num_segments=ns + 1
+        )
+        return deg[:ns, None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("graph", None),),
+        out_specs=P("graph", None),
+    )(rows)
