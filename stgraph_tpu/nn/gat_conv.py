@@ -66,11 +66,11 @@ class GATConv(fnn.Module):
         # Attention dropout (DGL semantics: dropout on the NORMALIZED
         # coefficients). The reference declares attn_drop and never applies
         # it (gat_conv.py:25 creates the module; forward never calls it) —
-        # here it is honored: the dense path masks alpha per head; large
-        # graphs route to the edge-domain jnp softmax (the fused
-        # flash/rowmask pipelines are dropout-free inference/fine-tune
-        # paths — a per-edge mask would force an (E, H) tensor back into
-        # HBM, exactly what they exist to avoid).
+        # here it is honored on every path: the dense path masks alpha per
+        # head; large graphs stay on the FUSED flash pipeline with an
+        # in-kernel stateless-hash keep mask (no (E, H) alpha in HBM); only
+        # flash-unsupported tilings fall back to the edge-domain jnp
+        # softmax.
         use_attn_drop = self.attn_drop > 0.0 and not deterministic
         attn_rng = self.make_rng("dropout") if use_attn_drop else None
         h = fnn.Dropout(self.feat_drop, deterministic=deterministic)(feat)
@@ -104,9 +104,40 @@ class GATConv(fnn.Module):
                 rst = self.activation(rst)
             return rst
 
+        # Attention-dropout training stays on the FUSED path whenever the
+        # flash tiling supports it: the keep mask is a stateless
+        # (src, dst, head, seed) hash applied in-kernel — no (E, H) alpha
+        # tensor in HBM (ops/flash_gat.edge_keep_mask).
+        if (
+            use_attn_drop
+            and concrete
+            and self.impl in ("auto", "sparse")
+        ):
+            from stgraph_tpu.ops.attention import (
+                flash_path_available,
+                sparse_gat_attention,
+            )
+
+            if flash_path_available(csr, self.num_heads, self.out_feats):
+                seed = jax.random.bits(attn_rng, dtype=jnp.uint32)
+                rst = sparse_gat_attention(
+                    csr,
+                    el,
+                    er,
+                    feat_src,
+                    negative_slope=negative_slope,
+                    csr_t=getattr(graph, "bwd_csr", None),
+                    attn_drop_rate=self.attn_drop,
+                    attn_drop_seed=seed,
+                )
+                if self.activation is not None:
+                    rst = self.activation(rst)
+                return rst
+
         if use_attn_drop and concrete:
-            # Edge-domain jnp path: explicit alpha so the mask applies per
-            # coefficient; differentiable end-to-end through XLA.
+            # Edge-domain jnp fallback (flash tiling unsupported): explicit
+            # alpha so the mask applies per coefficient; differentiable
+            # end-to-end through XLA.
             import numpy as np
 
             from stgraph_tpu.ops import segment as seg

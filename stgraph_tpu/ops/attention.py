@@ -22,7 +22,36 @@ import numpy as np
 
 from stgraph_tpu.graph.csr import CSR
 
-__all__ = ["dense_gat_attention", "sparse_gat_attention"]
+__all__ = [
+    "dense_gat_attention",
+    "sparse_gat_attention",
+    "flash_path_available",
+]
+
+
+def flash_path_available(
+    csr: CSR, heads: int, f: int, interpret: bool = False
+) -> bool:
+    """True when ``sparse_gat_attention`` would take the fully fused flash
+    path (tiling supported, plane under budget, TPU or interpret) — the
+    predicate GATConv uses to keep attention-dropout training fused."""
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops import flash_gat as FG
+    from stgraph_tpu.ops.message import _on_tpu
+    from stgraph_tpu.ops.spmm_pallas import _stream_dtype as _sdt_of
+
+    sdt0 = _sdt_of(csr, jnp.float32) or jnp.float32
+    plane_bytes = (
+        (csr.capacity + 2 * 1024)
+        * (((heads * f + 127) // 128) * 128 + 128)
+        * jnp.dtype(sdt0).itemsize
+    )
+    return (
+        (interpret or _on_tpu())
+        and FG.flash_supported(heads, f)
+        and plane_bytes <= FG.FLASH_MAX_PLANE_BYTES
+    )
 
 
 def _dense_counts(csr: CSR) -> np.ndarray:
@@ -102,8 +131,15 @@ def sparse_gat_attention(
     blocked_t=None,
     csr_t: CSR = None,
     interpret: bool = False,
+    attn_drop_rate: float = 0.0,
+    attn_drop_seed=0,
 ) -> jnp.ndarray:
     """Large-graph GAT attention, scatter-free forward AND backward.
+
+    ``attn_drop_rate > 0`` requires the flash path
+    (``flash_path_available``): dropout on the normalized coefficients runs
+    in-kernel via the stateless (src, dst, head, seed) hash — no (E, H)
+    alpha plane, no permutation gathers (``flash_gat.edge_keep_mask``).
 
     Forward: per-edge logits from two gathers, stability max and softmax
     normalizer on the position-masked narrow kernels, weighted aggregation
@@ -163,8 +199,15 @@ def sparse_gat_attention(
             csr_t=csr_t,
             stream_dtype=sdt0,
             interpret=interpret,
+            attn_drop=attn_drop_rate,
+            drop_seed=attn_drop_seed,
         )
         return out.reshape(n, h, f).astype(feat_src.dtype)
+    if attn_drop_rate > 0.0:
+        raise ValueError(
+            "attention dropout needs the flash path; gate on "
+            "flash_path_available() before calling"
+        )
     # Fused row-masked kernel: weights applied in-kernel from an (H, E)
     # stream, softmax denominator accumulated in the same pass. Falls back
     # to the composed spmm when off-TPU or the head/feature tiling doesn't

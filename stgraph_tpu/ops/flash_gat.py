@@ -61,7 +61,12 @@ from stgraph_tpu.ops.segment_pallas import (
     segment_max_narrow,
 )
 
-__all__ = ["flash_gat_attention", "flash_supported", "FLASH_MAX_PLANE_BYTES"]
+__all__ = [
+    "flash_gat_attention",
+    "flash_supported",
+    "FLASH_MAX_PLANE_BYTES",
+    "edge_keep_mask",
+]
 
 # Above this forward-plane size the caller should fall back to the
 # segment-streaming composed path (the flash plane is held as a residual).
@@ -83,6 +88,39 @@ def flash_supported(heads: int, f: int) -> bool:
     if heads == 1:
         return f % 128 == 0 or f <= 128
     return 128 % f == 0 and (heads * f) % 128 == 0 and 6 * heads <= _SIDE
+
+
+def edge_keep_mask(
+    src_ids, dst_ids, seed, heads: int, rate: float
+) -> jnp.ndarray:
+    """(E, heads) f32 dropout keep-mask from a stateless (src, dst, head,
+    seed) hash — values are 0 or 1/(1-rate) (inverted-dropout scaling).
+
+    Order-independence is the point: the transpose-CSR backward pass
+    regenerates the SAME per-edge mask by hashing its own (rows, cols)
+    arrays — no (E, H) permutation gather between edge orders (measured
+    ~9.7 ms each at E=2M, docs/PERF.md). The hash is a murmur3-style
+    finalizer over the packed endpoints; its bits are i.i.d.-uniform enough
+    for dropout (tests pin per-edge keep probability).
+    """
+    src = jnp.asarray(src_ids).astype(jnp.uint32)
+    dst = jnp.asarray(dst_ids).astype(jnp.uint32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    k = (
+        src * jnp.uint32(0x9E3779B9)
+        ^ dst * jnp.uint32(0x85EBCA6B)
+        ^ (seed + jnp.uint32(0x27D4EB2F))
+    )
+    hs = jnp.arange(heads, dtype=jnp.uint32) * jnp.uint32(0x165667B1)
+    x = k[:, None] + hs[None, :]
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    u = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    keep = u >= jnp.float32(rate)
+    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), 0.0)
 
 
 def _hi_lo(x: jnp.ndarray, stream_bf16: bool):
@@ -117,6 +155,23 @@ def _mask(bs, be, pos0, base):
     return jnp.logical_and(pos >= bs, pos < be)
 
 
+def _q_transpose(q_chunk: jnp.ndarray, h: int, ch: int) -> jnp.ndarray:
+    """(h_pad, CHUNK) dropout stream chunk -> (CHUNK, h) via a one-pass
+    exact transpose matmul (identity is one-hot, HIGHEST keeps it exact)."""
+    hp = q_chunk.shape[0]
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (hp, hp), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hp, hp), 1)
+    eye = (i_ids == j_ids).astype(jnp.float32)
+    qt = jax.lax.dot_general(
+        q_chunk,
+        eye,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (CHUNK, h_pad)
+    return qt[:, :h]
+
+
 def _flash_fwd_kernel(
     astart_ref,
     nchunks_ref,
@@ -124,20 +179,19 @@ def _flash_fwd_kernel(
     be_ref,
     side_ref,  # (ROW_BLOCK, 2h) f32: [er | m]
     plane_ref,  # (CAP_pad, f_flat + 128) HBM
-    out_ref,  # (ROW_BLOCK, f_flat)
-    den_ref,  # (ROW_BLOCK, 128)
-    slab,  # (2, EDGE_CHUNK, f_flat + 128)
-    acc,  # (ROW_BLOCK, f_flat) f32
-    den_acc,  # (ROW_BLOCK, 128) f32
-    sem,
-    *,
+    *refs,  # [q_ref], out_ref, den_ref, slab, acc, den_acc, sem, [q_scr, q_sem]
     h: int,
     f: int,
     f_flat: int,
     n_ft: int,
     slope: float,
     ch: int,
+    dropped: bool = False,
 ):
+    refs = list(refs)
+    q_ref = refs.pop(0) if dropped else None
+    out_ref, den_ref, slab, acc, den_acc, sem = refs[:6]
+    q_scr, q_sem = (refs[6], refs[7]) if dropped else (None, None)
     rb = pl.program_id(0)
     a0 = astart_ref[rb]
     nck = nchunks_ref[rb]
@@ -152,13 +206,24 @@ def _flash_fwd_kernel(
 
     def dma(slot, i):
         off = pl.multiple_of(a0 + i * ch, _ALIGN)
-        return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
-        )
+        copies = [
+            pltpu.make_async_copy(
+                plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
+            )
+        ]
+        if dropped:
+            copies.append(
+                pltpu.make_async_copy(
+                    q_ref.at[:, pl.ds(off, ch)], q_scr.at[slot],
+                    q_sem.at[slot],
+                )
+            )
+        return copies
 
     @pl.when(nck > 0)
     def _():
-        dma(0, 0).start()
+        for d in dma(0, 0):
+            d.start()
 
     acc[...] = jnp.zeros_like(acc)
     den_acc[...] = jnp.zeros_like(den_acc)
@@ -170,9 +235,11 @@ def _flash_fwd_kernel(
 
         @pl.when(i + 1 < nck)
         def _():
-            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
 
-        dma(slot, i).wait()
+        for d in dma(slot, i):
+            d.wait()
         mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
@@ -192,6 +259,8 @@ def _flash_fwd_kernel(
         # Exact for real edges (m is the exact segment max, so s - m <= 0);
         # bounds garbage positions (mask 0) so no inf reaches the matmul.
         w = jnp.exp(jnp.minimum(s - erm[:, h:], 0.0))  # (CHUNK, h) f32
+        # Denominator uses the UNdropped weights (DGL semantics: dropout on
+        # the normalized coefficients); the numerator uses q-scaled ones.
         den_acc[:, :h] += jax.lax.dot_general(
             m32,
             w,
@@ -199,9 +268,10 @@ def _flash_fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=prec,
         )
+        wq = w * _q_transpose(q_scr[slot], h, ch) if dropped else w
         for t in range(n_ft):
             w_lane = jax.lax.dot_general(
-                w,
+                wq,
                 spreads[t],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -231,17 +301,14 @@ def _flash_bwd_a_kernel(
     side_ref,  # (ROW_BLOCK, 3h) f32: [er | m | c]
     gu_ref,  # (ROW_BLOCK, f_flat) sdt — dst-row cotangents
     plane_ref,  # saved forward plane, HBM
-    der_ref,  # (ROW_BLOCK, 128)
-    slab,
-    der_acc,
-    sem,
-    *,
+    *refs,  # [q_ref], der_ref, slab, der_acc, sem, [q_scr, q_sem]
     h: int,
     f: int,
     f_flat: int,
     n_ft: int,
     slope: float,
     ch: int,
+    dropped: bool = False,
 ):
     """Pass A (forward CSR, rows = destinations): der only.
 
@@ -249,8 +316,13 @@ def _flash_bwd_a_kernel(
     destination cotangent rows from the block (mask matmul), forms the
     SDDMM dw and the softmax VJP ds0 in registers, and aggregates
     ``der[d] = sum ds0`` — the one backward quantity grouped by
-    destination. Nothing per-edge is written.
+    destination. Nothing per-edge is written. With dropout, ds0 becomes
+    ``w · (q·dw − c) · lp`` (c already absorbs q through the dropped out).
     """
+    refs = list(refs)
+    q_ref = refs.pop(0) if dropped else None
+    der_ref, slab, der_acc, sem = refs[:4]
+    q_scr, q_sem = (refs[4], refs[5]) if dropped else (None, None)
     rb = pl.program_id(0)
     a0 = astart_ref[rb]
     nck = nchunks_ref[rb]
@@ -265,13 +337,24 @@ def _flash_bwd_a_kernel(
 
     def dma(slot, i):
         off = pl.multiple_of(a0 + i * ch, _ALIGN)
-        return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
-        )
+        copies = [
+            pltpu.make_async_copy(
+                plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
+            )
+        ]
+        if dropped:
+            copies.append(
+                pltpu.make_async_copy(
+                    q_ref.at[:, pl.ds(off, ch)], q_scr.at[slot],
+                    q_sem.at[slot],
+                )
+            )
+        return copies
 
     @pl.when(nck > 0)
     def _():
-        dma(0, 0).start()
+        for d in dma(0, 0):
+            d.start()
 
     der_acc[...] = jnp.zeros_like(der_acc)
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
@@ -282,9 +365,11 @@ def _flash_bwd_a_kernel(
 
         @pl.when(i + 1 < nck)
         def _():
-            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
 
-        dma(slot, i).wait()
+        for d in dma(slot, i):
+            d.wait()
         mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
@@ -320,6 +405,8 @@ def _flash_bwd_a_kernel(
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
+        if dropped:
+            dw = dw * _q_transpose(q_scr[slot], h, ch)
         ds0 = w * (dw - emc[:, 2 * h :]) * lp
         der_acc[:, :h] += jax.lax.dot_general(
             m32,
@@ -342,28 +429,29 @@ def _flash_bwd_b_kernel(
     el_ref,  # (ROW_BLOCK, h) f32 — src-row scores
     fs_ref,  # (ROW_BLOCK, f_flat) sdt — src-row forward features
     plane_ref,  # (CAP_pad, f_flat + 128) HBM: [gu | er±, m±, c±]
-    dfs_ref,  # (ROW_BLOCK, f_flat)
-    dl_ref,  # (ROW_BLOCK, 128)
-    slab,
-    dfs_acc,
-    dl_acc,
-    sem,
-    *,
+    *refs,  # [q_ref], dfs_ref, dl_ref, slab, dfs_acc, dl_acc, sem, [q_scr, q_sem]
     h: int,
     f: int,
     f_flat: int,
     n_ft: int,
     slope: float,
     ch: int,
+    dropped: bool = False,
 ):
     """Pass B (transpose CSR, rows = sources): d feat_src and dl.
 
     The destination-side fields (er, m, c) ride the gather plane as hi/lo
     lane pairs; el comes from the row block. w is recomputed bit-compatibly
     with the forward (same m, same clamp), then one pass aggregates
-    ``d feat_src = sum w * gu`` and ``dl = sum ds0`` per source row, with
-    the SDDMM again folded in registers.
+    ``d feat_src = sum (q·w) * gu`` and ``dl = sum ds0`` per source row,
+    with the SDDMM again folded in registers. With dropout the keep mask is
+    REGENERATED in this CSR's edge order by the caller (stateless
+    (src, dst, head) hash — no permutation between orders) and streamed.
     """
+    refs = list(refs)
+    q_ref = refs.pop(0) if dropped else None
+    dfs_ref, dl_ref, slab, dfs_acc, dl_acc, sem = refs[:6]
+    q_scr, q_sem = (refs[6], refs[7]) if dropped else (None, None)
     rb = pl.program_id(0)
     a0 = astart_ref[rb]
     nck = nchunks_ref[rb]
@@ -378,13 +466,24 @@ def _flash_bwd_b_kernel(
 
     def dma(slot, i):
         off = pl.multiple_of(a0 + i * ch, _ALIGN)
-        return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
-        )
+        copies = [
+            pltpu.make_async_copy(
+                plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
+            )
+        ]
+        if dropped:
+            copies.append(
+                pltpu.make_async_copy(
+                    q_ref.at[:, pl.ds(off, ch)], q_scr.at[slot],
+                    q_sem.at[slot],
+                )
+            )
+        return copies
 
     @pl.when(nck > 0)
     def _():
-        dma(0, 0).start()
+        for d in dma(0, 0):
+            d.start()
 
     dfs_acc[...] = jnp.zeros_like(dfs_acc)
     dl_acc[...] = jnp.zeros_like(dl_acc)
@@ -396,9 +495,11 @@ def _flash_bwd_b_kernel(
 
         @pl.when(i + 1 < nck)
         def _():
-            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
 
-        dma(slot, i).wait()
+        for d in dma(slot, i):
+            d.wait()
         mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
@@ -422,10 +523,12 @@ def _flash_bwd_b_kernel(
         lp = jnp.where(s >= 0, 1.0, slope)
         s = jnp.where(s >= 0, s, slope * s)
         w = jnp.exp(jnp.minimum(s - m_e, 0.0))
+        qt = _q_transpose(q_scr[slot], h, ch) if dropped else None
+        wq = w * qt if dropped else w
         dw = jnp.zeros((ch, h), jnp.float32)
         for t in range(n_ft):
             w_lane = jax.lax.dot_general(
-                w,
+                wq,
                 spreads[t],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -455,6 +558,8 @@ def _flash_bwd_b_kernel(
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
+        if dropped:
+            dw = dw * qt
         ds0 = w * (dw - c_e) * lp
         dl_acc[:, :h] += jax.lax.dot_general(
             m32,
@@ -492,11 +597,18 @@ def flash_gat_attention(
     csr_t: CSR = None,
     stream_dtype=None,
     interpret: bool = False,
+    attn_drop: float = 0.0,
+    drop_seed=0,
 ) -> jnp.ndarray:
     """Fused GAT segment-softmax attention; returns (N, H*F) f32.
 
     One XLA gather + one Pallas pass forward; one gather + two Pallas
-    passes backward. See module docstring for the design.
+    passes backward. ``attn_drop > 0`` applies dropout to the NORMALIZED
+    attention coefficients (DGL semantics) *inside* the kernels: the keep
+    mask is a stateless (src, dst, head, ``drop_seed``) hash regenerated
+    per pass in each CSR's own edge order (``edge_keep_mask``), streamed as
+    a narrow q plane — no (E, H) alpha tensor, no permutation gathers. See
+    module docstring for the base design.
     """
     n = csr.num_nodes
     cap = csr.capacity
@@ -527,9 +639,15 @@ def flash_gat_attention(
 
     ftot = f_pad + _SIDE
 
-    def run(kernel, meta_, bs_, be_, blocks, block_widths, plane, n_out, kw):
+    h_pad = max(_round_up(h, 8), 8)
+
+    def run(
+        kernel, meta_, bs_, be_, blocks, block_widths, plane, n_out, kw,
+        qstream=None,
+    ):
         """Shared pallas_call driver: grid (NB,), whole-slab double-buffered
-        DMA, (ROW_BLOCK, width) outputs."""
+        DMA, (ROW_BLOCK, width) outputs; optional narrow dropout q stream."""
+        dropped = qstream is not None
         in_specs = [
             pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
             pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
@@ -542,6 +660,9 @@ def flash_gat_attention(
             inputs.append(b)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         inputs.append(plane)
+        if dropped:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+            inputs.append(qstream)
         out_specs = tuple(
             pl.BlockSpec((ROW_BLOCK, wdt), lambda rb, *_: (rb, 0))
             for wdt in n_out
@@ -555,6 +676,9 @@ def flash_gat_attention(
             pltpu.VMEM((ROW_BLOCK, wdt), jnp.float32) for wdt in n_out
         ]
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        if dropped:
+            scratch.append(pltpu.VMEM((2, h_pad, _FLASH_CHUNK), jnp.float32))
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(meta_.num_blocks,),
@@ -565,7 +689,8 @@ def flash_gat_attention(
         return pl.pallas_call(
             functools.partial(
                 kernel, h=h, f=f if h > 1 else 128, f_flat=f_pad,
-                n_ft=n_ft, slope=slope, ch=_FLASH_CHUNK, **kw
+                n_ft=n_ft, slope=slope, ch=_FLASH_CHUNK, dropped=dropped,
+                **kw
             ),
             out_shape=out_shape,
             grid_spec=grid_spec,
@@ -584,12 +709,33 @@ def flash_gat_attention(
         # writes are halved by bf16 (docs/PERF.md).
         return table_f32[jnp.asarray(cols)].astype(sdt)
 
+    dropped = float(attn_drop) > 0.0
+
+    def _q_stream(src_ids, dst_ids, cap_pad_):
+        """(h_pad, cap_pad) q stream ({0, 1/(1-p)}) in the given order."""
+        q = edge_keep_mask(src_ids, dst_ids, drop_seed, h, float(attn_drop))
+        q = jnp.pad(q, ((0, cap_pad_ - q.shape[0]), (0, h_pad - h)))
+        return q.T
+
+    if dropped:
+        rows_pad_f = np.pad(rows_np, (0, meta.cap_pad - cap))
+        rows_t_pad = np.pad(rows_t_np, (0, meta_t.cap_pad - cap))
+        # Raw (unclamped) endpoints: the hash must see the same (src, dst)
+        # per edge in both orders; padding slots are mask-discarded anyway.
+        cols_raw_f = np.pad(cols_np, (0, meta.cap_pad - cap))
+        cols_raw_t = np.pad(cols_t_np, (0, meta_t.cap_pad - cap))
+        qf = _q_stream(cols_raw_f, rows_pad_f, meta.cap_pad)
+        qt = _q_stream(rows_t_pad, cols_raw_t, meta_t.cap_pad)
+    else:
+        qf = jnp.zeros((1, 1), jnp.float32)
+        qt = jnp.zeros((1, 1), jnp.float32)
+
     @jax.custom_vjp
-    def attn(el2_, er2_, fs_):
-        out, _, _, _, _ = _fwd_parts(el2_, er2_, fs_)
+    def attn(el2_, er2_, fs_, qf_, qt_):
+        out, _, _, _, _ = _fwd_parts(el2_, er2_, fs_, qf_)
         return out
 
-    def _fwd_parts(el2_, er2_, fs_):
+    def _fwd_parts(el2_, er2_, fs_, qf_):
         el_hi, el_lo = _hi_lo(el2_, bf16)
         side_pad = jnp.zeros((n, _SIDE - 2 * h), jnp.float32)
         table = jnp.concatenate(
@@ -617,6 +763,7 @@ def flash_gat_attention(
         out_u, den = run(
             _flash_fwd_kernel, meta, bs3, be3,
             [side], [2 * h], plane, (f_pad, _SIDE), {},
+            qstream=qf_ if dropped else None,
         )
         denom = jnp.maximum(den[:n, :h], jnp.finfo(jnp.float32).tiny)
         out_n = out_u[:n, :f_flat]
@@ -625,12 +772,12 @@ def flash_gat_attention(
         ).reshape(n, f_flat)
         return out, m, denom, plane, None
 
-    def fwd(el2_, er2_, fs_):
-        out, m, denom, plane, _ = _fwd_parts(el2_, er2_, fs_)
-        return out, (el2_, er2_, fs_, m, denom, out, plane)
+    def fwd(el2_, er2_, fs_, qf_, qt_):
+        out, m, denom, plane, _ = _fwd_parts(el2_, er2_, fs_, qf_)
+        return out, (el2_, er2_, fs_, m, denom, out, plane, qf_, qt_)
 
     def bwd(res, g):
-        el2_, er2_, fs_, m, denom, out, plane = res
+        el2_, er2_, fs_, m, denom, out, plane, qf_, qt_ = res
         g2 = g.reshape(n, h, f)
         gu = (g2 / denom[:, :, None]).reshape(n, f_flat)
         c = jnp.sum(g2 * out.reshape(n, h, f), axis=-1) / denom  # (N, h)
@@ -646,6 +793,7 @@ def flash_gat_attention(
         (der_p,) = run(
             _flash_bwd_a_kernel, meta, bs3, be3,
             [sideA, guA], [3 * h, f_pad], plane, (_SIDE,), {},
+            qstream=qf_ if dropped else None,
         )
         der = der_p[:n, :h]
 
@@ -673,12 +821,19 @@ def flash_gat_attention(
         dfs_p, dl_p = run(
             _flash_bwd_b_kernel, meta_t, bs3_t, be3_t,
             [elB, fsB], [h, f_pad], planeB, (f_pad, _SIDE), {},
+            qstream=qt_ if dropped else None,
         )
         dfs = dfs_p[:n, :f_flat].astype(fs_.dtype)
         dl = dl_p[:n, :h]
-        return dl.astype(el2_.dtype), der.astype(er2_.dtype), dfs
+        return (
+            dl.astype(el2_.dtype),
+            der.astype(er2_.dtype),
+            dfs,
+            jnp.zeros_like(qf_),  # dropout masks are data, not params
+            jnp.zeros_like(qt_),
+        )
 
     attn.defvjp(fwd, bwd)
     return attn(
-        el2.astype(jnp.float32), er2.astype(jnp.float32), fs_flat
+        el2.astype(jnp.float32), er2.astype(jnp.float32), fs_flat, qf, qt
     )

@@ -151,3 +151,115 @@ def test_flash_zero_degree_rows_zero(rng):
     out = np.asarray(out)
     assert np.isfinite(out).all()
     assert np.allclose(out[5:], 0.0)
+
+
+def _drop_oracle(csr, el2, er2, fs, keep, slope=0.2):
+    """jnp oracle with a GIVEN q mask (values {0, 1/(1-p)}): dropout on the
+    normalized coefficients (DGL semantics)."""
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops import segment as seg
+
+    n = csr.num_nodes
+    _, rows, cols, _ = csr.host_arrays()
+    rows_c = np.minimum(rows, n - 1)
+    cols_c = np.minimum(cols, n - 1)
+    emask = rows < n
+    s = el2[cols_c] + er2[rows_c]
+    s = jnp.where(s >= 0, s, slope * s)
+    alpha = seg.segment_softmax(
+        s, jnp.asarray(rows_c), n, edge_mask=jnp.asarray(emask)
+    )
+    alpha = alpha * keep  # q-scaled keep mask
+    msg = fs[cols_c] * alpha[..., None]
+    return seg.segment_sum(
+        msg, jnp.asarray(rows_c), n, edge_mask=jnp.asarray(emask)
+    )
+
+
+def test_flash_attn_drop_matches_masked_oracle(rng):
+    """In-kernel dropout == jnp oracle given the SAME hash mask, fwd+bwd."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops.flash_gat import edge_keep_mask, flash_gat_attention
+
+    h, f, rate, seed = 4, 32, 0.3, 1234
+    csr = _setup(rng)
+    n = csr.num_nodes
+    cap = csr.capacity
+    _, rows, cols, _ = csr.host_arrays()
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+    keep = edge_keep_mask(cols, rows, seed, h, rate)[:cap]
+
+    out = flash_gat_attention(
+        csr, el, er, fs, heads=h, interpret=True,
+        attn_drop=rate, drop_seed=seed,
+    ).reshape(n, h, f)
+    ref = _drop_oracle(csr, el, er, fs.reshape(n, h, f), keep)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+    gref = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+
+    def loss_flash(el_, er_, fs_):
+        o = flash_gat_attention(
+            csr, el_, er_, fs_, heads=h, interpret=True,
+            attn_drop=rate, drop_seed=seed,
+        )
+        return jnp.sum(o * gref)
+
+    def loss_ref(el_, er_, fs_):
+        r = _drop_oracle(csr, el_, er_, fs_.reshape(n, h, f), keep)
+        return jnp.sum(r.reshape(n, h * f) * gref)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(el, er, fs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(el, er, fs)
+    for name, a, b in zip(("dl", "der", "dfs"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3, err_msg=name
+        )
+
+
+def test_edge_keep_mask_unbiased_and_order_free():
+    """Keep probability ~= 1-p per (edge, head); identical values whatever
+    order the (src, dst) pairs are presented in (the property the
+    transpose-order backward relies on)."""
+    import numpy as np
+
+    from stgraph_tpu.ops.flash_gat import edge_keep_mask
+
+    rng = np.random.default_rng(0)
+    e, h, rate = 40_000, 8, 0.35
+    src = rng.integers(0, 10_000, e)
+    dst = rng.integers(0, 10_000, e)
+    q = np.asarray(edge_keep_mask(src, dst, 7, h, rate))
+    keep_frac = (q > 0).mean()
+    assert abs(keep_frac - (1 - rate)) < 0.01, keep_frac
+    # E[q] == 1 by construction of the inverted scaling.
+    assert abs(q.mean() - 1.0) < 0.02, q.mean()
+    # Order independence: a permutation of the edges hashes identically.
+    perm = rng.permutation(e)
+    q2 = np.asarray(edge_keep_mask(src[perm], dst[perm], 7, h, rate))
+    np.testing.assert_array_equal(q2, q[perm])
+
+
+def test_gatconv_attn_drop_routes_to_flash(rng):
+    """GATConv(attn_drop>0) on a large-enough graph takes the fused path
+    and still trains (finite grads, mean close to the deterministic out)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GATConv
+    from stgraph_tpu.ops.attention import flash_path_available
+
+    n, e, h, f = 300, 4000, 4, 32
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = StaticGraph(np.stack([src, dst], 1), None, n)
+    # interpret-mode routing: force via flash_path_available(interpret)
+    assert flash_path_available(g.fwd_csr, h, f, interpret=True)
