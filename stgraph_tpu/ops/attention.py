@@ -35,23 +35,12 @@ def flash_path_available(
     """True when ``sparse_gat_attention`` would take the fully fused flash
     path (tiling supported, plane under budget, TPU or interpret) — the
     predicate GATConv uses to keep attention-dropout training fused."""
-    import jax.numpy as jnp
-
     from stgraph_tpu.ops import flash_gat as FG
     from stgraph_tpu.ops.message import _on_tpu
-    from stgraph_tpu.ops.spmm_pallas import _stream_dtype as _sdt_of
 
-    sdt0 = _sdt_of(csr, jnp.float32) or jnp.float32
-    plane_bytes = (
-        (csr.capacity + 2 * 1024)
-        * (((heads * f + 127) // 128) * 128 + 128)
-        * jnp.dtype(sdt0).itemsize
-    )
-    return (
-        (interpret or _on_tpu())
-        and FG.flash_supported(heads, f)
-        and plane_bytes <= FG.FLASH_MAX_PLANE_BYTES
-    )
+    # No plane-size cap: past FLASH_MAX_PLANE_BYTES the flash path streams
+    # the plane in segments (and re-gathers in backward instead of saving).
+    return (interpret or _on_tpu()) and FG.flash_supported(heads, f)
 
 
 def _dense_counts(csr: CSR) -> np.ndarray:
@@ -180,15 +169,8 @@ def sparse_gat_attention(
     from stgraph_tpu.ops.spmm_pallas import _stream_dtype as _sdt_of
 
     sdt0 = _sdt_of(csr, jnp.float32) or jnp.float32
-    plane_bytes = (
-        (cap + 2 * 1024) * ( ( (h * f + 127) // 128 ) * 128 + 128)
-        * jnp.dtype(sdt0).itemsize
-    )
-    if (
-        (interpret or _on_tpu())
-        and FG.flash_supported(h, f)
-        and plane_bytes <= FG.FLASH_MAX_PLANE_BYTES
-    ):
+    # No plane-size cap: flash self-segments past FLASH_MAX_PLANE_BYTES.
+    if (interpret or _on_tpu()) and FG.flash_supported(h, f):
         out = FG.flash_gat_attention(
             csr,
             el[..., 0].astype(jnp.float32),

@@ -57,6 +57,7 @@ from stgraph_tpu.ops.segment_pallas import (
     RowBlockMeta,
     _ALIGN,
     _round_up,
+    _rowmask_segments,
     row_block_meta,
     segment_max_narrow,
 )
@@ -581,6 +582,20 @@ def _common_specs(meta: RowBlockMeta):
     return bs3, be3
 
 
+def _seg_meta(meta: RowBlockMeta, b0: int, nb_seg: int, lo: int, span: int):
+    """Host meta for row blocks [b0, b0+nb_seg) over re-based CSR positions
+    [lo, lo+span); straggler blocks past the end are padded empty and chunk
+    counts are clamped to the span (same contract as the rowmask SpMM's
+    segment slicing — out-of-span DMA faults on hardware)."""
+    b1 = min(b0 + nb_seg, meta.num_blocks)
+    pad = nb_seg - (b1 - b0)
+    astart = np.pad(meta.astart[b0:b1] - np.int32(lo), (0, pad))
+    nchunks = np.pad(meta.nchunks[b0:b1], (0, pad))
+    room = np.maximum(span - astart, 0) // _FLASH_CHUNK
+    nchunks = np.minimum(nchunks, room).astype(np.int32)
+    return astart.astype(np.int32), nchunks
+
+
 def _pad_rows(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     if x.shape[0] == n_pad:
         return x
@@ -599,6 +614,8 @@ def flash_gat_attention(
     interpret: bool = False,
     attn_drop: float = 0.0,
     drop_seed=0,
+    src_ids=None,
+    src_ids_t=None,
 ) -> jnp.ndarray:
     """Fused GAT segment-softmax attention; returns (N, H*F) f32.
 
@@ -631,28 +648,39 @@ def flash_gat_attention(
     bs3_t, be3_t = _common_specs(meta_t)
 
     _, rows_np, cols_np, _ = csr.host_arrays()
-    cols_c = np.minimum(cols_np, n - 1)
-    cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
     _, rows_t_np, cols_t_np, _ = csr_t.host_arrays()
-    cols_t_c = np.minimum(cols_t_np, n - 1)
-    cols_t_pad = np.pad(cols_t_c, (0, meta_t.cap_pad - cap))
+    if src_ids is not None:
+        # Per-edge id arrays as traced ARGUMENTS: at 1e8+ edges the (cap,)
+        # numpy constants exceed remote-compile request limits (HTTP 413;
+        # same workaround as spmm_pallas's src_ids).
+        ids = jnp.minimum(jnp.asarray(src_ids, jnp.int32), jnp.int32(n - 1))
+        cols_pad = jnp.pad(ids.reshape(-1), (0, meta.cap_pad - cap))
+        ids_t = jnp.minimum(
+            jnp.asarray(src_ids_t, jnp.int32), jnp.int32(n - 1)
+        )
+        cols_t_pad = jnp.pad(ids_t.reshape(-1), (0, meta_t.cap_pad - cap))
+    else:
+        cols_c = np.minimum(cols_np, n - 1)
+        cols_pad = np.pad(cols_c, (0, meta.cap_pad - cap))
+        cols_t_c = np.minimum(cols_t_np, n - 1)
+        cols_t_pad = np.pad(cols_t_c, (0, meta_t.cap_pad - cap))
 
     ftot = f_pad + _SIDE
 
     h_pad = max(_round_up(h, 8), 8)
 
-    def run(
-        kernel, meta_, bs_, be_, blocks, block_widths, plane, n_out, kw,
-        qstream=None,
+    def run_raw(
+        kernel, astart, nchunks, nb, bs_, be_, blocks, block_widths,
+        plane, n_out, kw, qstream=None,
     ):
-        """Shared pallas_call driver: grid (NB,), whole-slab double-buffered
+        """Shared pallas_call driver: grid (nb,), whole-slab double-buffered
         DMA, (ROW_BLOCK, width) outputs; optional narrow dropout q stream."""
         dropped = qstream is not None
         in_specs = [
             pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
             pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
         ]
-        inputs = [meta_.astart, meta_.nchunks, bs_, be_]
+        inputs = [astart, nchunks, bs_, be_]
         for b, wdt in zip(blocks, block_widths):
             in_specs.append(
                 pl.BlockSpec((ROW_BLOCK, wdt), lambda rb, *_: (rb, 0))
@@ -668,7 +696,7 @@ def flash_gat_attention(
             for wdt in n_out
         )
         out_shape = tuple(
-            jax.ShapeDtypeStruct((meta_.num_rows_padded, wdt), jnp.float32)
+            jax.ShapeDtypeStruct((nb * ROW_BLOCK, wdt), jnp.float32)
             for wdt in n_out
         )
         scratch = [pltpu.VMEM((2, _FLASH_CHUNK, ftot), sdt)]
@@ -681,11 +709,12 @@ def flash_gat_attention(
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(meta_.num_blocks,),
+            grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
         )
+        cap_here = plane.shape[0]
         return pl.pallas_call(
             functools.partial(
                 kernel, h=h, f=f if h > 1 else 128, f_flat=f_pad,
@@ -696,18 +725,94 @@ def flash_gat_attention(
             grid_spec=grid_spec,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=6 * meta_.cap_pad * f_pad,
-                bytes_accessed=meta_.cap_pad * ftot * jnp.dtype(sdt).itemsize
-                + meta_.num_rows_padded * sum(n_out) * 4,
-                transcendentals=meta_.cap_pad * h,
+                flops=6 * cap_here * f_pad,
+                bytes_accessed=cap_here * ftot * jnp.dtype(sdt).itemsize
+                + nb * ROW_BLOCK * sum(n_out) * 4,
+                transcendentals=cap_here * h,
             ),
         )(*inputs)
+
+    def run(
+        kernel, meta_, bs_, be_, blocks, block_widths, plane, n_out, kw,
+        qstream=None,
+    ):
+        """Single-segment driver over a prebuilt whole plane."""
+        return run_raw(
+            kernel, meta_.astart, meta_.nchunks, meta_.num_blocks,
+            bs_, be_, blocks, block_widths, plane, n_out, kw,
+            qstream=qstream,
+        )
+
+    def run_segmented(
+        kernel, meta_, bs3_, be3_, blocks, block_widths, table, cols_pad_,
+        n_out, kw, qstream=None,
+    ):
+        """Segment-streaming driver: the gather plane is built PER SEGMENT
+        (bounded by ``segment_pallas._SEGMENT_BYTES``) instead of held
+        whole — how flash GAT runs past ``FLASH_MAX_PLANE_BYTES`` (ogbn
+        scale). All segments share one (nb_u, span_u) shape so the Mosaic
+        kernel compiles once; per-segment outputs concatenate on rows
+        (row blocks never span segments)."""
+        segs = _rowmask_segments(meta_, ftot, jnp.dtype(sdt).itemsize)
+        nb_u = max(b1 - b0 for b0, b1, _, _ in segs)
+        span_u = max(hi - lo for _, _, lo, hi in segs)
+        span_u = _round_up(span_u, _FLASH_CHUNK)
+        outs = [[] for _ in n_out]
+        for b0, b1, lo, hi in segs:
+            lo_u = min(lo, max(meta_.cap_pad - span_u, 0))
+            astart_s, nch_s = _seg_meta(meta_, b0, nb_u, lo_u, span_u)
+            hi_b = min((b0 + nb_u), meta_.num_blocks)
+            pad_b = nb_u - (hi_b - b0)
+            bs_s = np.pad(bs3_[b0:hi_b], ((0, pad_b), (0, 0), (0, 0)))
+            be_s = np.pad(be3_[b0:hi_b], ((0, pad_b), (0, 0), (0, 0)))
+            blk_s = []
+            for b in blocks:
+                rows_have = min((b0 + nb_u) * ROW_BLOCK, b.shape[0])
+                sl = jax.lax.slice(
+                    b, (b0 * ROW_BLOCK, 0), (rows_have, b.shape[1])
+                )
+                want = nb_u * ROW_BLOCK
+                if sl.shape[0] < want:
+                    sl = jnp.pad(sl, ((0, want - sl.shape[0]), (0, 0)))
+                blk_s.append(sl)
+            seg_cols = jax.lax.slice(cols_pad_, (lo_u,), (lo_u + span_u,))
+            plane_s = table[seg_cols].astype(sdt)
+            q_s = (
+                jax.lax.slice(
+                    qstream, (0, lo_u), (qstream.shape[0], lo_u + span_u)
+                )
+                if qstream is not None
+                else None
+            )
+            res = run_raw(
+                kernel, astart_s, nch_s, nb_u, bs_s, be_s, blk_s,
+                block_widths, plane_s, n_out, kw, qstream=q_s,
+            )
+            rows_real = (b1 - b0) * ROW_BLOCK
+            for acc, r in zip(outs, res):
+                acc.append(r[:rows_real])
+        full = tuple(jnp.concatenate(a, axis=0) for a in outs)
+        return tuple(
+            jnp.pad(x, ((0, meta_.num_rows_padded - x.shape[0]), (0, 0)))
+            if x.shape[0] < meta_.num_rows_padded
+            else x[: meta_.num_rows_padded]
+            for x in full
+        )
 
     def build_plane(table_f32, cols):
         # Gather from the f32 table, cast on the output write: random row
         # reads are transaction-bound (payload width ~free), sequential
         # writes are halved by bf16 (docs/PERF.md).
         return table_f32[jnp.asarray(cols)].astype(sdt)
+
+    # Above the plane budget, planes are gathered per segment in every pass
+    # (and re-gathered in backward instead of saved) — one extra gather per
+    # backward pass buys O(_SEGMENT_BYTES) peak instead of O(E·ftot).
+    segmented = (
+        meta.cap_pad * ftot * jnp.dtype(sdt).itemsize > FLASH_MAX_PLANE_BYTES
+        or meta_t.cap_pad * ftot * jnp.dtype(sdt).itemsize
+        > FLASH_MAX_PLANE_BYTES
+    )
 
     dropped = float(attn_drop) > 0.0
 
@@ -720,15 +825,34 @@ def flash_gat_attention(
     if dropped:
         rows_pad_f = np.pad(rows_np, (0, meta.cap_pad - cap))
         rows_t_pad = np.pad(rows_t_np, (0, meta_t.cap_pad - cap))
-        # Raw (unclamped) endpoints: the hash must see the same (src, dst)
-        # per edge in both orders; padding slots are mask-discarded anyway.
-        cols_raw_f = np.pad(cols_np, (0, meta.cap_pad - cap))
-        cols_raw_t = np.pad(cols_t_np, (0, meta_t.cap_pad - cap))
+        # The hash must see the same (src, dst) per edge in both orders.
+        # With src_ids given (ids-as-arguments mode), the traced clamped
+        # ids are used — they differ from raw only on padding slots, which
+        # the row masks discard.
+        if src_ids is not None:
+            cols_raw_f, cols_raw_t = cols_pad, cols_t_pad
+        else:
+            cols_raw_f = np.pad(cols_np, (0, meta.cap_pad - cap))
+            cols_raw_t = np.pad(cols_t_np, (0, meta_t.cap_pad - cap))
         qf = _q_stream(cols_raw_f, rows_pad_f, meta.cap_pad)
         qt = _q_stream(rows_t_pad, cols_raw_t, meta_t.cap_pad)
     else:
         qf = jnp.zeros((1, 1), jnp.float32)
         qt = jnp.zeros((1, 1), jnp.float32)
+
+    def _table_fwd(el2_, fs_):
+        """[fs | el_hi | el_lo | 0] node table for the forward plane."""
+        el_hi, el_lo = _hi_lo(el2_, bf16)
+        return jnp.concatenate(
+            [
+                fs_.astype(jnp.float32),
+                jnp.zeros((n, f_pad - f_flat), jnp.float32),
+                el_hi,
+                el_lo,
+                jnp.zeros((n, _SIDE - 2 * h), jnp.float32),
+            ],
+            axis=1,
+        )  # (N, ftot) f32
 
     @jax.custom_vjp
     def attn(el2_, er2_, fs_, qf_, qt_):
@@ -736,35 +860,40 @@ def flash_gat_attention(
         return out
 
     def _fwd_parts(el2_, er2_, fs_, qf_):
-        el_hi, el_lo = _hi_lo(el2_, bf16)
-        side_pad = jnp.zeros((n, _SIDE - 2 * h), jnp.float32)
-        table = jnp.concatenate(
-            [
-                fs_.astype(jnp.float32),
-                jnp.zeros((n, f_pad - f_flat), jnp.float32),
-                el_hi,
-                el_lo,
-                side_pad,
-            ],
-            axis=1,
-        )  # (N, ftot) f32
-        plane = build_plane(table, cols_pad)  # (cap_pad, ftot) sdt
-        # Stability max, factored: m[d] = leaky(max_in el + er[d]), exact.
-        el_edge = (
-            plane[:cap, f_pad : f_pad + h].astype(jnp.float32)
-            + plane[:cap, f_pad + h : f_pad + 2 * h].astype(jnp.float32)
-        )
+        table = _table_fwd(el2_, fs_)
+        if segmented:
+            plane = None
+            # The per-edge el for the stability max comes from a narrow
+            # gather here (the whole plane is never materialized); the
+            # (cap, h) f32 transient is bounded and streamed by the max
+            # kernel.
+            el_edge = el2_[jnp.asarray(cols_pad)[:cap]]
+        else:
+            plane = build_plane(table, cols_pad)  # (cap_pad, ftot) sdt
+            # Stability max, factored: m[d] = leaky(max_in el + er[d]).
+            el_edge = (
+                plane[:cap, f_pad : f_pad + h].astype(jnp.float32)
+                + plane[:cap, f_pad + h : f_pad + 2 * h].astype(jnp.float32)
+            )
         elmax = segment_max_narrow(csr, el_edge, interpret=interpret)
         s_top = elmax + er2_
         m = jnp.where(s_top >= 0, s_top, slope * s_top)  # (N, h)
         side = _pad_rows(
             jnp.concatenate([er2_, m], axis=1), meta.num_rows_padded
         )
-        out_u, den = run(
-            _flash_fwd_kernel, meta, bs3, be3,
-            [side], [2 * h], plane, (f_pad, _SIDE), {},
-            qstream=qf_ if dropped else None,
-        )
+        if segmented:
+            out_u, den = run_segmented(
+                _flash_fwd_kernel, meta, bs3, be3,
+                [side], [2 * h], table, jnp.asarray(cols_pad),
+                (f_pad, _SIDE), {},
+                qstream=qf_ if dropped else None,
+            )
+        else:
+            out_u, den = run(
+                _flash_fwd_kernel, meta, bs3, be3,
+                [side], [2 * h], plane, (f_pad, _SIDE), {},
+                qstream=qf_ if dropped else None,
+            )
         denom = jnp.maximum(den[:n, :h], jnp.finfo(jnp.float32).tiny)
         out_n = out_u[:n, :f_flat]
         out = (
@@ -774,6 +903,8 @@ def flash_gat_attention(
 
     def fwd(el2_, er2_, fs_, qf_, qt_):
         out, m, denom, plane, _ = _fwd_parts(el2_, er2_, fs_, qf_)
+        # Segmented mode saves NO plane: backward re-gathers per segment
+        # (one extra gather per pass buys O(segment) peak HBM).
         return out, (el2_, er2_, fs_, m, denom, out, plane, qf_, qt_)
 
     def bwd(res, g):
@@ -790,11 +921,20 @@ def flash_gat_attention(
             jnp.pad(gu, ((0, 0), (0, f_pad - f_flat))).astype(sdt),
             meta.num_rows_padded,
         )
-        (der_p,) = run(
-            _flash_bwd_a_kernel, meta, bs3, be3,
-            [sideA, guA], [3 * h, f_pad], plane, (_SIDE,), {},
-            qstream=qf_ if dropped else None,
-        )
+        if segmented:
+            (der_p,) = run_segmented(
+                _flash_bwd_a_kernel, meta, bs3, be3,
+                [sideA, guA], [3 * h, f_pad],
+                _table_fwd(el2_, fs_), jnp.asarray(cols_pad),
+                (_SIDE,), {},
+                qstream=qf_ if dropped else None,
+            )
+        else:
+            (der_p,) = run(
+                _flash_bwd_a_kernel, meta, bs3, be3,
+                [sideA, guA], [3 * h, f_pad], plane, (_SIDE,), {},
+                qstream=qf_ if dropped else None,
+            )
         der = der_p[:n, :h]
 
         # Pass B: transpose CSR -> d feat_src, dl.
@@ -810,7 +950,6 @@ def flash_gat_attention(
             ],
             axis=1,
         )
-        planeB = build_plane(tableB, cols_t_pad)
         elB = _pad_rows(el2_, meta_t.num_rows_padded)
         fsB = _pad_rows(
             jnp.pad(
@@ -818,11 +957,20 @@ def flash_gat_attention(
             ).astype(sdt),
             meta_t.num_rows_padded,
         )
-        dfs_p, dl_p = run(
-            _flash_bwd_b_kernel, meta_t, bs3_t, be3_t,
-            [elB, fsB], [h, f_pad], planeB, (f_pad, _SIDE), {},
-            qstream=qt_ if dropped else None,
-        )
+        if segmented:
+            dfs_p, dl_p = run_segmented(
+                _flash_bwd_b_kernel, meta_t, bs3_t, be3_t,
+                [elB, fsB], [h, f_pad], tableB, jnp.asarray(cols_t_pad),
+                (f_pad, _SIDE), {},
+                qstream=qt_ if dropped else None,
+            )
+        else:
+            planeB = build_plane(tableB, cols_t_pad)
+            dfs_p, dl_p = run(
+                _flash_bwd_b_kernel, meta_t, bs3_t, be3_t,
+                [elB, fsB], [h, f_pad], planeB, (f_pad, _SIDE), {},
+                qstream=qt_ if dropped else None,
+            )
         dfs = dfs_p[:n, :f_flat].astype(fs_.dtype)
         dl = dl_p[:n, :h]
         return (

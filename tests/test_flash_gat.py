@@ -263,3 +263,85 @@ def test_gatconv_attn_drop_routes_to_flash(rng):
     g = StaticGraph(np.stack([src, dst], 1), None, n)
     # interpret-mode routing: force via flash_path_available(interpret)
     assert flash_path_available(g.fwd_csr, h, f, interpret=True)
+
+
+def test_flash_segmented_plane_matches_oracle(rng, monkeypatch):
+    """Forced segmentation (tiny plane budget): fwd+bwd still match the
+    oracle — the ogbn-scale path where the plane never materializes."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops import flash_gat as FG
+    from stgraph_tpu.ops import segment_pallas as SP
+
+    # Budget small enough to force several segments at E=4000.
+    monkeypatch.setattr(FG, "FLASH_MAX_PLANE_BYTES", 64 * 1024)
+    monkeypatch.setattr(SP, "_SEGMENT_BYTES", 2 * 1024 * 1024)
+
+    h, f = 4, 32
+    csr = _setup(rng)
+    n = csr.num_nodes
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+
+    out = FG.flash_gat_attention(
+        csr, el, er, fs, heads=h, interpret=True
+    ).reshape(n, h, f)
+    ref = _oracle(csr, el, er, fs.reshape(n, h, f))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+    gref = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+
+    def loss_flash(el_, er_, fs_):
+        o = FG.flash_gat_attention(csr, el_, er_, fs_, heads=h, interpret=True)
+        return jnp.sum(o * gref)
+
+    def loss_ref(el_, er_, fs_):
+        r = _oracle(csr, el_, er_, fs_.reshape(n, h, f))
+        return jnp.sum(r.reshape(n, h * f) * gref)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(el, er, fs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(el, er, fs)
+    for name, a, b in zip(("dl", "der", "dfs"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3, err_msg=name
+        )
+
+
+def test_flash_segmented_with_dropout_and_src_ids(rng, monkeypatch):
+    """Segmented + in-kernel dropout + ids-as-arguments compose."""
+    import jax.numpy as jnp
+
+    from stgraph_tpu.ops import flash_gat as FG
+    from stgraph_tpu.ops import segment_pallas as SP
+
+    monkeypatch.setattr(FG, "FLASH_MAX_PLANE_BYTES", 64 * 1024)
+    monkeypatch.setattr(SP, "_SEGMENT_BYTES", 2 * 1024 * 1024)
+
+    h, f, rate, seed = 4, 32, 0.25, 99
+    csr = _setup(rng)
+    csr_t = csr.transpose()
+    n = csr.num_nodes
+    cap = csr.capacity
+    _, rows, cols, _ = csr.host_arrays()
+    el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((n, h * f)).astype(np.float32))
+    from stgraph_tpu.ops.flash_gat import edge_keep_mask
+
+    keep = edge_keep_mask(cols, rows, seed, h, rate)[:cap]
+    _, _, cols_t, _ = csr_t.host_arrays()
+
+    out = FG.flash_gat_attention(
+        csr, el, er, fs, heads=h, interpret=True,
+        attn_drop=rate, drop_seed=seed,
+        src_ids=jnp.asarray(np.minimum(cols, n - 1)),
+        src_ids_t=jnp.asarray(np.minimum(cols_t, n - 1)),
+    ).reshape(n, h, f)
+    ref = _drop_oracle(csr, el, er, fs.reshape(n, h, f), keep)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
