@@ -90,9 +90,31 @@ class OgbNodeDataLoader:
             )
         elif allow_synthetic:
             self.synthetic = True
-            self._edge_index, self._feat, self._labels = self._synthesize(
-                *_KNOWN[name], scale=scale, seed=seed
+            # Full-scale synthesis costs minutes (Chung-Lu searchsorted over
+            # 1.2e8 draws); cache the result keyed by generator version.
+            syn_npz = os.path.join(
+                root, f"{name}.synthetic-v2.scale{scale}.seed{seed}.npz"
             )
+            if os.path.exists(syn_npz):
+                data = np.load(syn_npz)
+                self._edge_index = data["edge_index"]
+                self._feat = data["node_feat"]
+                self._labels = data["labels"]
+            else:
+                self._edge_index, self._feat, self._labels = self._synthesize(
+                    *_KNOWN[name], scale=scale, seed=seed
+                )
+                if scale >= 0.25:  # only cache the expensive sizes
+                    try:
+                        os.makedirs(root, exist_ok=True)
+                        np.savez(
+                            syn_npz,
+                            edge_index=self._edge_index,
+                            node_feat=self._feat,
+                            labels=self._labels,
+                        )
+                    except OSError:
+                        pass
         else:
             raise FileNotFoundError(
                 f"no OGB data at {npz} or {rawdir} and allow_synthetic=False"
