@@ -72,6 +72,7 @@ def main() -> None:
     ap.add_argument("--slide", type=int, default=10_000)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--chunk-size", type=int, default=1024)
+    ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--skip-legacy", action="store_true")
     args = ap.parse_args()
 
@@ -185,6 +186,64 @@ def main() -> None:
         dt_old = bench(_legacy_apply_delta, "legacy 3x-argsort baseline")
         print(f"speedup merge vs legacy: {dt_old/dt_new:.1f}x", flush=True)
     print(f"speedup pma vs merge: {dt_new/dt_pma:.1f}x", flush=True)
+
+    # Full dynamic STEP at wiki-talk scale: delta replay on the dual PMA
+    # stores + row-id-kernel aggregation (ops/dyn_spmm), forward and
+    # forward+backward — the "dynamic graph at kernel speed" capability
+    # (VERDICT r2 item 3). Compare edges/s against the static SpMM rate.
+    from stgraph_tpu.ops.dyn_spmm import (
+        apply_delta_pair,
+        pma_pair_from_edges,
+        pma_spmm,
+    )
+
+    f_dim = args.feat
+    pair0 = pma_pair_from_edges(
+        cols0[:e0], rows0[:e0], n, num_chunks=C, chunk_size=S
+    )
+    feats = jnp.asarray(
+        rng.standard_normal((n, f_dim)).astype(np.float32)
+    )
+
+    @jax.jit
+    def run_dyn_fwd(pair, feats):
+        def body(pair, xs):
+            a, dl = xs
+            pair = apply_delta_pair(
+                pair, a[:, 0], a[:, 1], dl[:, 0], dl[:, 1]
+            )
+            out = pma_spmm(pair, feats)
+            return pair, jnp.sum(out, dtype=jnp.float32)
+
+        _, sums = jax.lax.scan(
+            body, pair, (jnp.asarray(adds), jnp.asarray(dels))
+        )
+        return sums[-1]
+
+    @jax.jit
+    def run_dyn_bwd(pair, feats):
+        def loss(feats):
+            return run_dyn_fwd(pair, feats)
+
+        return jax.grad(loss)(feats)[0, 0]
+
+    for label, fn in (("fwd", run_dyn_fwd), ("fwd+bwd", run_dyn_bwd)):
+        t0 = time.perf_counter()
+        v = float(fn(pair0, feats))
+        print(
+            f"dyn step {label} (F={f_dim}): compile+run1 "
+            f"{time.perf_counter()-t0:.1f}s",
+            flush=True,
+        )
+        rtt = readback_rtt()
+        t0 = time.perf_counter()
+        v = float(fn(pair0, feats))
+        dt = (time.perf_counter() - t0 - rtt) / t_steps
+        print(
+            f"dyn step {label} (F={f_dim}): {dt*1e3:.2f} ms/timestep -> "
+            f"{e0/dt/1e6:.0f}M edges/s (update + pma_spmm)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

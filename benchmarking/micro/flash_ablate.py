@@ -137,10 +137,23 @@ def main() -> None:
                     s = el + erm[:, :h]
                     s = jnp.where(s >= 0, s, 0.2 * s)
                     w = jnp.exp(jnp.minimum(s - erm[:, h:], 0.0))
-                den_acc[:, :h] += jax.lax.dot_general(
-                    m32, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
+                if mode != "noden":
+                    den_acc[:, :h] += jax.lax.dot_general(
+                        m32, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                if mode == "combined":
+                    spread_all = jnp.concatenate(spreads, axis=1)  # (h, 128*n_ft)
+                    w_lane_all = jax.lax.dot_general(
+                        w, spread_all, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )  # (CHUNK, f_pad)
+                    scaled_all = sl[:, :f_pad] * w_lane_all.astype(sdt)
+                    acc[...] += jnp.dot(
+                        msd, scaled_all,
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                    return ()
                 for t in range(n_ft):
                     tile = sl[:, t * 128 : (t + 1) * 128]
                     if mode == "nowlane":
@@ -178,12 +191,12 @@ def main() -> None:
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=(
-                pl.BlockSpec((ROW_BLOCK, 128), lambda rb, *_: (rb, 0)),
+                pl.BlockSpec((ROW_BLOCK, f_pad), lambda rb, *_: (rb, 0)),
                 pl.BlockSpec((ROW_BLOCK, 128), lambda rb, *_: (rb, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, ch, ftot), sdt),
-                pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+                pltpu.VMEM((ROW_BLOCK, f_pad), jnp.float32),
                 pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -194,7 +207,7 @@ def main() -> None:
                 make_kernel(mode),
                 out_shape=(
                     jax.ShapeDtypeStruct(
-                        (meta.num_rows_padded, 128), jnp.float32
+                        (meta.num_rows_padded, f_pad), jnp.float32
                     ),
                     jax.ShapeDtypeStruct(
                         (meta.num_rows_padded, 128), jnp.float32
@@ -203,7 +216,7 @@ def main() -> None:
                 grid_spec=grid_spec,
             )(meta.astart, meta.nchunks, bs3, be3, side, plane)[0]
 
-        dt = bench_chained(jax.jit(fn), plane, iters=20)
+        dt = bench_chained(lambda: fn, plane, iters=20)
         print(
             f"  {mode:8s}: {dt*1e3:8.2f} ms  ({e/dt/1e6:6.1f}M edges/s)",
             flush=True,
@@ -216,12 +229,15 @@ def main() -> None:
         flush=True,
     )
     full = run("full")
+    run("combined")
+    noden = run("noden")
     nomask = run("nomask")
     noerm = run("noerm")
     nowlane = run("nowlane")
     print(f"  mask bucket : {(full-nomask)*1e3:6.2f} ms")
     print(f"  erm/exp     : {(full-noerm)*1e3:6.2f} ms")
     print(f"  wlane/scale : {(full-nowlane)*1e3:6.2f} ms")
+    print(f"  den dot     : {(full-noden)*1e3:6.2f} ms")
 
 
 if __name__ == "__main__":

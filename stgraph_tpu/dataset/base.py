@@ -110,6 +110,10 @@ class STGraphDataset(ABC):
             self._delete_cached_dataset()
         if self._has_dataset_cache():
             self._load_dataset()
+            # Cached synthetic data must still report as synthetic —
+            # provenance travels with the cache file (older caches without
+            # the marker are treated as real downloads).
+            self.synthetic = bool(self._dataset.pop("_synthetic", False))
             return
         if self._download_dataset():
             self._save_dataset()
@@ -118,7 +122,10 @@ class STGraphDataset(ABC):
         self.synthetic = True
         # Cache the (deterministic) synthetic data too: regeneration is
         # slower than a JSON load, and it keeps the cache flow uniform.
+        # The marker keeps provenance honest across cache reloads.
+        self._dataset["_synthetic"] = True
         self._save_dataset()
+        self._dataset.pop("_synthetic", None)
 
     @abstractmethod
     def _generate_synthetic(self) -> Dict[str, Any]:

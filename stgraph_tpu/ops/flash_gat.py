@@ -270,23 +270,25 @@ def _flash_fwd_kernel(
             precision=prec,
         )
         wq = w * _q_transpose(q_scr[slot], h, ch) if dropped else w
-        for t in range(n_ft):
-            w_lane = jax.lax.dot_general(
-                wq,
-                spreads[t],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (CHUNK, 128)
-            tile = sl[:, t * 128 : (t + 1) * 128]
-            if sdt == jnp.float32:
-                scaled = tile * w_lane
-            else:
-                scaled = tile * w_lane.astype(sdt)
-            acc[:, t * 128 : (t + 1) * 128] += jnp.dot(
-                msd, scaled, preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+        # ONE spread dot + ONE selection matmul across all feature tiles
+        # (measured: -12% kernel time vs per-tile dots, flash_ablate.py).
+        spread_all = jnp.concatenate(spreads, axis=1)  # (h, f_flat)
+        w_lane = jax.lax.dot_general(
+            wq,
+            spread_all,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (CHUNK, f_flat)
+        tiles = sl[:, :f_flat]
+        if sdt == jnp.float32:
+            scaled = tiles * w_lane
+        else:
+            scaled = tiles * w_lane.astype(sdt)
+        acc[...] += jnp.dot(
+            msd, scaled, preferred_element_type=jnp.float32,
+            precision=prec,
+        )
         return ()
 
     jax.lax.fori_loop(0, nck, body, (), unroll=False)
@@ -389,23 +391,23 @@ def _flash_bwd_a_kernel(
         lp = jnp.where(s >= 0, 1.0, slope)
         s = jnp.where(s >= 0, s, slope * s)
         w = jnp.exp(jnp.minimum(s - emc[:, h : 2 * h], 0.0))
-        dw = jnp.zeros((ch, h), jnp.float32)
-        for t in range(n_ft):
-            gu_t = jax.lax.dot_general(
-                msd,
-                gu_ref[:, t * 128 : (t + 1) * 128],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            ).astype(sdt)  # (CHUNK, 128) per-edge dst cotangent tile
-            prod = sl[:, t * 128 : (t + 1) * 128] * gu_t
-            dw = dw + jax.lax.dot_general(
-                prod.astype(jnp.float32),
-                spreads[t],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+        # Combined across feature tiles (one recovery dot, one SDDMM dot).
+        spread_all = jnp.concatenate(spreads, axis=1)  # (h, f_flat)
+        gu_all = jax.lax.dot_general(
+            msd,
+            gu_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(sdt)  # (CHUNK, f_flat) per-edge dst cotangents
+        prod = sl[:, :f_flat] * gu_all
+        dw = jax.lax.dot_general(
+            prod.astype(jnp.float32),
+            spread_all,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
         if dropped:
             dw = dw * _q_transpose(q_scr[slot], h, ch)
         ds0 = w * (dw - emc[:, 2 * h :]) * lp
@@ -526,39 +528,40 @@ def _flash_bwd_b_kernel(
         w = jnp.exp(jnp.minimum(s - m_e, 0.0))
         qt = _q_transpose(q_scr[slot], h, ch) if dropped else None
         wq = w * qt if dropped else w
-        dw = jnp.zeros((ch, h), jnp.float32)
-        for t in range(n_ft):
-            w_lane = jax.lax.dot_general(
-                wq,
-                spreads[t],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-            gu_t = sl[:, t * 128 : (t + 1) * 128]
-            if sdt == jnp.float32:
-                scaled = gu_t * w_lane
-            else:
-                scaled = gu_t * w_lane.astype(sdt)
-            dfs_acc[:, t * 128 : (t + 1) * 128] += jnp.dot(
-                msd, scaled, preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-            fs_t = jax.lax.dot_general(
-                msd,
-                fs_ref[:, t * 128 : (t + 1) * 128],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            ).astype(sdt)
-            prod = fs_t * gu_t
-            dw = dw + jax.lax.dot_general(
-                prod.astype(jnp.float32),
-                spreads[t],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+        # Combined across feature tiles: one spread dot, one aggregation
+        # matmul, one recovery dot, one SDDMM dot.
+        spread_all = jnp.concatenate(spreads, axis=1)  # (h, f_flat)
+        w_lane = jax.lax.dot_general(
+            wq,
+            spread_all,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (CHUNK, f_flat)
+        gu_all = sl[:, :f_flat]
+        if sdt == jnp.float32:
+            scaled = gu_all * w_lane
+        else:
+            scaled = gu_all * w_lane.astype(sdt)
+        dfs_acc[...] += jnp.dot(
+            msd, scaled, preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        fs_all = jax.lax.dot_general(
+            msd,
+            fs_ref[...],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(sdt)  # (CHUNK, f_flat) per-edge src features
+        prod = fs_all * gu_all
+        dw = jax.lax.dot_general(
+            prod.astype(jnp.float32),
+            spread_all,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
         if dropped:
             dw = dw * qt
         ds0 = w * (dw - c_e) * lp
