@@ -74,6 +74,8 @@ def main() -> None:
     ap.add_argument("--chunk-size", type=int, default=1024)
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--skip-legacy", action="store_true")
+    ap.add_argument("--only-dyn", action="store_true",
+                    help="skip the update-only sections (measured r2)")
     args = ap.parse_args()
 
     import jax
@@ -144,7 +146,8 @@ def main() -> None:
         )
         return dt
 
-    dt_new = bench(apply_delta, "merge-based apply_delta   ")
+    if not args.only_dyn:
+        dt_new = bench(apply_delta, "merge-based apply_delta   ")
 
     # PMA chunked store: cost O(min(d, C)·S) — sublinear in capacity once
     # the slide is small relative to the chunk count (the PCSR regime).
@@ -168,24 +171,25 @@ def main() -> None:
         )
         return st.num_edges
 
-    t0 = time.perf_counter()
-    v = int(run_pma(store0))
-    print(f"pma chunked (S={S})       : compile+run1 "
-          f"{time.perf_counter()-t0:.1f}s", flush=True)
-    rtt = readback_rtt()
-    t0 = time.perf_counter()
-    v = int(run_pma(store0))
-    dt_pma = (time.perf_counter() - t0 - rtt) / t_steps
-    print(
-        f"pma chunked (S={S})       : {dt_pma*1e3:.2f} ms/timestep "
-        f"(C={C}, affected<= {min(2*d, C)}, final edges={v})",
-        flush=True,
-    )
+    if not args.only_dyn:
+        t0 = time.perf_counter()
+        v = int(run_pma(store0))
+        print(f"pma chunked (S={S})       : compile+run1 "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        rtt = readback_rtt()
+        t0 = time.perf_counter()
+        v = int(run_pma(store0))
+        dt_pma = (time.perf_counter() - t0 - rtt) / t_steps
+        print(
+            f"pma chunked (S={S})       : {dt_pma*1e3:.2f} ms/timestep "
+            f"(C={C}, affected<= {min(2*d, C)}, final edges={v})",
+            flush=True,
+        )
 
-    if not args.skip_legacy:
-        dt_old = bench(_legacy_apply_delta, "legacy 3x-argsort baseline")
-        print(f"speedup merge vs legacy: {dt_old/dt_new:.1f}x", flush=True)
-    print(f"speedup pma vs merge: {dt_new/dt_pma:.1f}x", flush=True)
+        if not args.skip_legacy:
+            dt_old = bench(_legacy_apply_delta, "legacy 3x-argsort baseline")
+            print(f"speedup merge vs legacy: {dt_old/dt_new:.1f}x", flush=True)
+        print(f"speedup pma vs merge: {dt_new/dt_pma:.1f}x", flush=True)
 
     # Full dynamic STEP at wiki-talk scale: delta replay on the dual PMA
     # stores + row-id-kernel aggregation (ops/dyn_spmm), forward and
