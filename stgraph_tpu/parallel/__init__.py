@@ -12,8 +12,12 @@ from stgraph_tpu.parallel.halo import (
     shard_edge_array,
     shard_node_array,
 )
-from stgraph_tpu.parallel.mesh import make_mesh
+from stgraph_tpu.parallel.mesh import make_mesh, manual_shard_map
 from stgraph_tpu.parallel import launch
+from stgraph_tpu.parallel.batch import (
+    dist_tgcn_batched_loss,
+    shard_window_batch,
+)
 from stgraph_tpu.parallel.layers import (
     dist_gat_conv,
     dist_gat_params,
@@ -46,10 +50,13 @@ __all__ = [
     "dist_gcn_conv",
     "dist_gcn_params",
     "dist_spmm",
+    "dist_tgcn_batched_loss",
     "dist_tgcn_cell",
     "dist_tgcn_params",
     "launch",
     "make_mesh",
+    "manual_shard_map",
+    "shard_window_batch",
     "partition_edges",
     "replicate",
     "shard_edge_array",

@@ -18,10 +18,15 @@ ownership rule as ``partition.py`` — applied to an *evolving* graph:
     the feature table is MBs while per-step halo discovery would serialize
     sorts into the scan).
 
-Everything is jnp inside ``shard_map`` (differentiable through XLA's scan
-transpose); the single-chip row-id Pallas kernels (``ops.dyn_spmm``) cover
-the kernel-speed story for dynamic stores, and compose here later by
-swapping the per-shard segment reduction.
+On TPU the per-shard aggregation runs the row-id-masked Pallas kernel
+(``segment_pallas.spmm_rowid_traced``) over each shard's live-sorted
+store — the distributed composition of the single-chip dynamic kernels
+(``ops.dyn_spmm``); shard-local row ids stay nondecreasing because every
+shard owns a contiguous destination range, so the traced block metadata
+builds per shard inside ``shard_map`` with no host involvement. Off-TPU
+(CPU test meshes) the same functions run a masked-jnp path with identical
+semantics; ``use_kernel=True, interpret=True`` exercises the kernel path
+under the Pallas interpreter for CI.
 """
 
 from __future__ import annotations
@@ -33,7 +38,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from stgraph_tpu.graph.blocked import EDGE_CHUNK
 from stgraph_tpu.graph.delta_graph import EdgeStore, apply_delta
+from stgraph_tpu.ops.segment_pallas import _round_up, spmm_rowid_traced
+from stgraph_tpu.parallel.mesh import manual_shard_map
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
 
 __all__ = [
     "DistDynGraph",
@@ -221,11 +236,46 @@ def dist_dyn_apply_delta(
     out_specs = (spec_e, spec_e, spec_e if weighted else P(), P("graph"))
     w_in = w if weighted else jnp.zeros((1, 1), jnp.float32)
     aw_in = add_w if add_w is not None else jnp.zeros((1, 1), jnp.float32)
-    rows2, cols2, w2, ne2 = jax.shard_map(
+    rows2, cols2, w2, ne2 = manual_shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        axes=("graph",),
         check_vma=False,  # apply_delta's fori_loop seeds unvarying consts
     )(rows, cols, w_in, ne, add, dele, aw_in)
     return rows2, cols2, (w2 if weighted else None), ne2
+
+
+def _shard_rowid_agg(local_r, w_eff, gathered, ns: int, interpret: bool):
+    """Differentiable per-shard aggregation on the row-id kernel.
+
+    ``local_r`` is live-sorted with sentinel ``ns``; ``gathered`` holds
+    features in store order. The VJP w.r.t. ``gathered`` is a pure gather
+    of the output cotangent by ``local_r`` (no scatter); row ids and edge
+    weights are graph data (zero cotangent), matching ``ops.dyn_spmm``.
+    """
+    f = gathered.shape[1]
+
+    @jax.custom_vjp
+    def run(r, w_, g_):
+        out, _ = spmm_rowid_traced(
+            r, w_, g_, ns, heads=1, interpret=interpret
+        )
+        return out[:ns, :f]
+
+    def run_fwd(r, w_, g_):
+        return run(r, w_, g_), (r, w_)
+
+    def run_bwd(res, gout):
+        r, w_ = res
+        d = gout[jnp.minimum(r, ns - 1)] * w_[:, None]
+        d = jnp.where((r < ns)[:, None], d, 0.0)
+        return (
+            np.zeros(r.shape, jax.dtypes.float0),
+            jnp.zeros_like(w_),
+            d.astype(gout.dtype),
+        )
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(local_r, w_eff, gathered)
 
 
 def dist_dyn_spmm(
@@ -235,16 +285,24 @@ def dist_dyn_spmm(
     cols: jnp.ndarray,  # (P, cap) global src ids
     w: Optional[jnp.ndarray],
     feats: jnp.ndarray,  # (P*ns, F) row-sharded
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """``out[d] = sum w_e * feats[src_e]`` over the evolving shards.
 
     Source rows are fetched from an all-gathered feature table (dynamic
     edges have no precomputable halo); the segment reduction is shard-local
-    because every destination's in-edges live on its owner shard.
+    because every destination's in-edges live on its owner shard. On TPU
+    (or with ``use_kernel=True``) each shard reduces with the row-id
+    Pallas kernel instead of an XLA scatter.
     """
     n = ddg.num_nodes
     ns = ddg.nodes_per_shard
     weighted = w is not None
+    if use_kernel is None:
+        use_kernel = _on_tpu() and ns < (1 << 24)
+    cap = int(rows.shape[1])
+    cap_pad = _round_up(cap, EDGE_CHUNK) + EDGE_CHUNK
 
     def body(rows, cols, w_, h_local):
         h_full = jax.lax.all_gather(
@@ -254,16 +312,29 @@ def dist_dyn_spmm(
         r = rows[0]
         c = cols[0]
         gathered = h_full[jnp.minimum(c, n - 1)]
+        local_r = jnp.where(r < n, r - pp * ns, ns).astype(jnp.int32)
+        if use_kernel:
+            pad = cap_pad - cap
+            r_pad = jnp.concatenate(
+                [local_r, jnp.full((pad,), ns, jnp.int32)]
+            )
+            w_eff = w_[0] if weighted else jnp.ones((cap,), jnp.float32)
+            w_pad = jnp.concatenate([w_eff, jnp.zeros((pad,), jnp.float32)])
+            g_pad = jnp.concatenate(
+                [
+                    gathered.astype(jnp.float32),
+                    jnp.zeros((pad, gathered.shape[1]), jnp.float32),
+                ]
+            )
+            return _shard_rowid_agg(r_pad, w_pad, g_pad, ns, interpret)
         if weighted:
             gathered = gathered * w_[0][:, None]
-        mask = (r < n)[:, None]
-        gathered = jnp.where(mask, gathered, 0.0)
-        local_r = jnp.where(r < n, r - pp * ns, ns)
+        gathered = jnp.where((r < n)[:, None], gathered, 0.0)
         out = jax.ops.segment_sum(gathered, local_r, num_segments=ns + 1)
         return out[:ns]
 
     spec_e = P("graph", None)
-    out = jax.shard_map(
+    out = manual_shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -272,6 +343,8 @@ def dist_dyn_spmm(
             P("graph", None),
         ),
         out_specs=P("graph", None),
+        axes=("graph",),
+        check_vma=not use_kernel,  # pallas_call outputs carry no vma
     )(rows, cols, w if weighted else jnp.zeros((1, 1), jnp.float32), feats)
     return out
 
@@ -280,23 +353,38 @@ def dist_dyn_degree(
     mesh: Mesh,
     ddg: DistDynGraph,
     rows: jnp.ndarray,
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """(P*ns, 1) live in-degree of the evolving graph (shard-local)."""
+    """(P*ns, 1) live in-degree of the evolving graph (shard-local).
+
+    On TPU each shard counts with the denominator-only row-id kernel
+    (``ops.dyn_spmm.dyn_degree`` — streams just the weight/row-id plane);
+    off-TPU a masked segment sum.
+    """
     n = ddg.num_nodes
     ns = ddg.nodes_per_shard
+    if use_kernel is None:
+        use_kernel = _on_tpu() and ns < (1 << 24)
 
     def body(rows):
         r = rows[0]
         pp = jax.lax.axis_index("graph")
-        local_r = jnp.where(r < n, r - pp * ns, ns)
+        local_r = jnp.where(r < n, r - pp * ns, ns).astype(jnp.int32)
+        if use_kernel:
+            from stgraph_tpu.ops.dyn_spmm import dyn_degree
+
+            return dyn_degree(local_r, None, ns, interpret=interpret)[:, None]
         deg = jax.ops.segment_sum(
             jnp.where(r < n, 1.0, 0.0), local_r, num_segments=ns + 1
         )
         return deg[:ns, None]
 
-    return jax.shard_map(
+    return manual_shard_map(
         body,
         mesh=mesh,
         in_specs=(P("graph", None),),
         out_specs=P("graph", None),
+        axes=("graph",),
+        check_vma=not use_kernel,  # pallas_call outputs carry no vma
     )(rows)

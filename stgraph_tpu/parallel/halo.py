@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax import shard_map
+from stgraph_tpu.parallel.mesh import manual_shard_map
 
 from stgraph_tpu.graph.csr import CSR
 from stgraph_tpu.ops import message as M
@@ -209,7 +209,7 @@ def dist_spmm(
         ew = jnp.zeros((p, 1), jnp.float32)  # placeholder pytree leaf
 
     @partial(
-        shard_map,
+        manual_shard_map,
         mesh=mesh,
         in_specs=(
             tuple(P(axis) for _ in dg.send_idx_by_d),
@@ -224,6 +224,7 @@ def dist_spmm(
             P(axis, *([None] * (h.ndim - 1))),  # h rows
         ),
         out_specs=P(axis, *([None] * (h.ndim - 1))),
+        axes=(axis,),
         # pallas_call does not yet annotate varying-mesh-axes metadata.
         check_vma=not use_pallas,
     )
@@ -401,7 +402,7 @@ def dist_gat_attention(
             )
 
     @partial(
-        shard_map,
+        manual_shard_map,
         mesh=mesh,
         in_specs=(
             tuple(P(axis) for _ in dg.send_idx_by_d),
@@ -412,6 +413,7 @@ def dist_gat_attention(
             P(axis, None, None),  # feat_src
         ),
         out_specs=P(axis, None, None),
+        axes=(axis,),
         check_vma=not use_pallas,
     )
     def _fwd(send_idx_by_d, local_csr, lrm, el_l, er_l, fs_l):

@@ -209,3 +209,59 @@ def test_partition_dynamic_weighted(mesh):
     np.testing.assert_allclose(
         np.asarray(out)[:n], ref, rtol=2e-5, atol=2e-5
     )
+
+
+def test_dist_dyn_kernel_path_interpret(mesh):
+    """The per-shard row-id Pallas kernel (use_kernel=True, interpreter)
+    matches the jnp path and its VJP, inside the same scan."""
+    rng = np.random.default_rng(3)
+    n = 4 * 32
+    deltas, snapshots = _random_dtdg(rng, n, t_steps=3, adds_per_t=40)
+    staged_add, staged_del = _stage(deltas, n)
+    empty = EdgeStore(
+        rows=np.full(8, n, np.int32),
+        cols=np.full(8, n, np.int32),
+        num_edges=np.int32(0),
+        num_nodes=n,
+    )
+    ddg = partition_dynamic(empty, staged_add, staged_del, None, 4)
+    carry0, xs = shard_dyn_arrays(mesh, ddg)
+    h0 = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    h = jax.device_put(h0, NamedSharding(mesh, P("graph")))
+
+    def run(h, use_kernel):
+        def body(carry, xs_t):
+            rows, cols, ne = carry
+            add, dele = xs_t
+            rows, cols, _, ne = dist_dyn_apply_delta(
+                mesh, ddg, rows, cols, None, ne, add, dele, None
+            )
+            out = dist_dyn_spmm(
+                mesh, ddg, rows, cols, None, h,
+                use_kernel=use_kernel, interpret=use_kernel,
+            )
+            deg = dist_dyn_degree(
+                mesh, ddg, rows, use_kernel=use_kernel, interpret=use_kernel
+            )
+            return (rows, cols, ne), (out, deg, jnp.sum(out**2))
+
+        (rows, cols, _, ne) = carry0
+        _, (outs, degs, losses) = jax.lax.scan(
+            body, (rows, cols, ne), (xs[0], xs[1])
+        )
+        return outs, degs, losses.sum()
+
+    outs_k, degs_k, _ = jax.jit(lambda h: run(h, True))(h)
+    outs_j, degs_j, _ = jax.jit(lambda h: run(h, False))(h)
+    np.testing.assert_allclose(
+        np.asarray(outs_k), np.asarray(outs_j), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(degs_k), np.asarray(degs_j), rtol=1e-6, atol=1e-6
+    )
+
+    g_k = jax.jit(jax.grad(lambda h: run(h, True)[2]))(h)
+    g_j = jax.jit(jax.grad(lambda h: run(h, False)[2]))(h)
+    np.testing.assert_allclose(
+        np.asarray(g_k), np.asarray(g_j), rtol=2e-4, atol=2e-4
+    )
