@@ -176,7 +176,7 @@ def _q_transpose(q_chunk: jnp.ndarray, h: int, ch: int) -> jnp.ndarray:
 def _flash_fwd_kernel(
     astart_ref,
     nchunks_ref,
-    bs_ref,  # (1, ROW_BLOCK, 1)
+    bs_ref,  # (1, 1, ROW_BLOCK) block of per-row chunk-local ranges
     be_ref,
     side_ref,  # (ROW_BLOCK, 2h) f32: [er | m]
     plane_ref,  # (CAP_pad, f_flat + 128) HBM
@@ -228,7 +228,7 @@ def _flash_fwd_kernel(
 
     acc[...] = jnp.zeros_like(acc)
     den_acc[...] = jnp.zeros_like(den_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ch, ROW_BLOCK), 0)
     spreads = _spreads(h, f, n_ft)
 
     def body(i, _):
@@ -241,7 +241,7 @@ def _flash_fwd_kernel(
 
         for d in dma(slot, i):
             d.wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)  # (CHUNK, ROW_BLOCK)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
         sl = slab[slot]
@@ -251,7 +251,7 @@ def _flash_fwd_kernel(
         erm = jax.lax.dot_general(
             m32,
             side_ref[...],
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (CHUNK, 2h): one-hot columns -> exact per-edge er/m
@@ -265,7 +265,7 @@ def _flash_fwd_kernel(
         den_acc[:, :h] += jax.lax.dot_general(
             m32,
             w,
-            (((1,), (0,)), ((), ())),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
@@ -285,9 +285,9 @@ def _flash_fwd_kernel(
             scaled = tiles * w_lane
         else:
             scaled = tiles * w_lane.astype(sdt)
-        acc[...] += jnp.dot(
-            msd, scaled, preferred_element_type=jnp.float32,
-            precision=prec,
+        acc[...] += jax.lax.dot_general(
+            msd, scaled, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return ()
 
@@ -360,7 +360,7 @@ def _flash_bwd_a_kernel(
             d.start()
 
     der_acc[...] = jnp.zeros_like(der_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ch, ROW_BLOCK), 0)
     spreads = _spreads(h, f, n_ft)
 
     def body(i, _):
@@ -373,7 +373,7 @@ def _flash_bwd_a_kernel(
 
         for d in dma(slot, i):
             d.wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)  # (CHUNK, ROW_BLOCK)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
         sl = slab[slot]
@@ -383,7 +383,7 @@ def _flash_bwd_a_kernel(
         emc = jax.lax.dot_general(
             m32,
             side_ref[...],
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (CHUNK, 3h)
@@ -396,7 +396,7 @@ def _flash_bwd_a_kernel(
         gu_all = jax.lax.dot_general(
             msd,
             gu_ref[...],
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         ).astype(sdt)  # (CHUNK, f_flat) per-edge dst cotangents
@@ -414,7 +414,7 @@ def _flash_bwd_a_kernel(
         der_acc[:, :h] += jax.lax.dot_general(
             m32,
             ds0,
-            (((1,), (0,)), ((), ())),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
@@ -490,7 +490,7 @@ def _flash_bwd_b_kernel(
 
     dfs_acc[...] = jnp.zeros_like(dfs_acc)
     dl_acc[...] = jnp.zeros_like(dl_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ch), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ch, ROW_BLOCK), 0)
     spreads = _spreads(h, f, n_ft)
 
     def body(i, _):
@@ -503,7 +503,7 @@ def _flash_bwd_b_kernel(
 
         for d in dma(slot, i):
             d.wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)
+        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)  # (CHUNK, ROW_BLOCK)
         m32 = mb.astype(jnp.float32)
         msd = mb.astype(sdt)
         sl = slab[slot]
@@ -518,7 +518,7 @@ def _flash_bwd_b_kernel(
         el_e = jax.lax.dot_general(
             m32,
             el_ref[...],
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (CHUNK, h)
@@ -543,14 +543,14 @@ def _flash_bwd_b_kernel(
             scaled = gu_all * w_lane
         else:
             scaled = gu_all * w_lane.astype(sdt)
-        dfs_acc[...] += jnp.dot(
-            msd, scaled, preferred_element_type=jnp.float32,
-            precision=prec,
+        dfs_acc[...] += jax.lax.dot_general(
+            msd, scaled, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
         fs_all = jax.lax.dot_general(
             msd,
             fs_ref[...],
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         ).astype(sdt)  # (CHUNK, f_flat) per-edge src features
@@ -568,7 +568,7 @@ def _flash_bwd_b_kernel(
         dl_acc[:, :h] += jax.lax.dot_general(
             m32,
             ds0,
-            (((1,), (0,)), ((), ())),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
@@ -580,9 +580,13 @@ def _flash_bwd_b_kernel(
 
 
 def _common_specs(meta: RowBlockMeta):
-    bs3 = meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)
-    be3 = meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)
-    return bs3, be3
+    # meta's native (NB, 1, ROW_BLOCK) layout: Mosaic-legal blocks
+    # ((1, 1, ROW_BLOCK) — trailing dims equal the array's), only 8x
+    # sublane padding (~75 MB at ogbn scale). The former
+    # (NB, ROW_BLOCK, 1) layout lane-padded its size-1 minor dim to 128 —
+    # 2.33 GB of constant literals, the measured ogbn OOM; the kernels
+    # consume the row dim TRANSPOSED (mask is (CHUNK, ROW_BLOCK)).
+    return meta.bs, meta.be
 
 
 def _seg_meta(meta: RowBlockMeta, b0: int, nb_seg: int, lo: int, span: int):
@@ -680,8 +684,8 @@ def flash_gat_attention(
         DMA, (ROW_BLOCK, width) outputs; optional narrow dropout q stream."""
         dropped = qstream is not None
         in_specs = [
-            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
-            pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
+            pl.BlockSpec((1, 1, ROW_BLOCK), lambda rb, *_: (rb, 0, 0)),
+            pl.BlockSpec((1, 1, ROW_BLOCK), lambda rb, *_: (rb, 0, 0)),
         ]
         inputs = [astart, nchunks, bs_, be_]
         for b, wdt in zip(blocks, block_widths):
@@ -779,7 +783,9 @@ def flash_gat_attention(
                     sl = jnp.pad(sl, ((0, want - sl.shape[0]), (0, 0)))
                 blk_s.append(sl)
             seg_cols = jax.lax.slice(cols_pad_, (lo_u,), (lo_u + span_u,))
-            plane_s = table[seg_cols].astype(sdt)
+            plane_s = table[seg_cols]
+            if plane_s.dtype != sdt:
+                plane_s = plane_s.astype(sdt)
             q_s = (
                 jax.lax.slice(
                     qstream, (0, lo_u), (qstream.shape[0], lo_u + span_u)
@@ -863,7 +869,13 @@ def flash_gat_attention(
         return out
 
     def _fwd_parts(el2_, er2_, fs_, qf_):
+        # Segmented mode holds the whole node table while planes are
+        # gathered per segment; storing it in the STREAM dtype is
+        # compute-identical (every plane is cast to sdt anyway; el/er hi-lo
+        # pairs are bf16-exact) and halves its HBM footprint at ogbn scale.
         table = _table_fwd(el2_, fs_)
+        if segmented:
+            table = table.astype(sdt)
         if segmented:
             plane = None
             # The per-edge el for the stability max comes from a narrow
@@ -928,7 +940,7 @@ def flash_gat_attention(
             (der_p,) = run_segmented(
                 _flash_bwd_a_kernel, meta, bs3, be3,
                 [sideA, guA], [3 * h, f_pad],
-                _table_fwd(el2_, fs_), jnp.asarray(cols_pad),
+                _table_fwd(el2_, fs_).astype(sdt), jnp.asarray(cols_pad),
                 (_SIDE,), {},
                 qstream=qf_ if dropped else None,
             )
@@ -963,7 +975,8 @@ def flash_gat_attention(
         if segmented:
             dfs_p, dl_p = run_segmented(
                 _flash_bwd_b_kernel, meta_t, bs3_t, be3_t,
-                [elB, fsB], [h, f_pad], tableB, jnp.asarray(cols_t_pad),
+                [elB, fsB], [h, f_pad], tableB.astype(sdt),
+                jnp.asarray(cols_t_pad),
                 (f_pad, _SIDE), {},
                 qstream=qt_ if dropped else None,
             )
