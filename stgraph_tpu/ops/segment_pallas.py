@@ -213,11 +213,30 @@ def _narrow_sum_kernel(
     out_ref[...] = acc_scratch[...]
 
 
+def _col_i32(row_f32):
+    """(1, ROW_BLOCK) f32 -> (ROW_BLOCK, 1) int32 via a one-hot matmul
+    transpose — exact for integer values < 2^24 (call sites guard). Lets
+    kernels that need per-row COLUMNS consume the (NB, 1, ROW_BLOCK)
+    layout: the former (NB, ROW_BLOCK, 1) s32 inputs lane-padded their
+    size-1 minor dim 128x (1.17 GB each at ogbn scale — measured OOM)."""
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ROW_BLOCK), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, ROW_BLOCK), 1)
+    eye = (i_ids == j_ids).astype(jnp.float32)
+    col = jax.lax.dot_general(
+        eye,
+        row_f32,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return col.astype(jnp.int32)
+
+
 def _narrow_max_kernel(
     astart_ref,
     nchunks_ref,
-    bs_ref,  # (1, ROW_BLOCK, 1) block
-    be_ref,  # (1, ROW_BLOCK, 1) block
+    bs_ref,  # (1, 1, ROW_BLOCK) f32 block (chunk-local ranges < 2^24)
+    be_ref,  # (1, 1, ROW_BLOCK) f32 block
     vals_ref,  # (K_pad, CAP_pad) HBM, transposed CSR-order values
     out_ref,  # (ROW_BLOCK, LANES)
     vals_scratch,  # (2, K_pad, EDGE_CHUNK)
@@ -247,6 +266,8 @@ def _narrow_max_kernel(
     # Mask oriented (rows, positions): rows on sublanes so the per-head
     # row maxima reduce along lanes and write one accumulator lane each.
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_CHUNK), 1)
+    bs_col = _col_i32(bs_ref[0])  # (ROW_BLOCK, 1)
+    be_col = _col_i32(be_ref[0])
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)
@@ -257,7 +278,7 @@ def _narrow_max_kernel(
 
         dma(slot, i).wait()
         pos = pos0 + i * EDGE_CHUNK
-        m = jnp.logical_and(pos >= bs_ref[0], pos < be_ref[0])
+        m = jnp.logical_and(pos >= bs_col, pos < be_col)
         for kk in range(k):  # static unroll; K <= MAX_NARROW_K
             vk = vals_scratch[slot, kk, :].reshape(1, EDGE_CHUNK)
             mk = jnp.where(m, vk, neg_inf)  # (ROW_BLOCK, EDGE_CHUNK)
@@ -369,10 +390,18 @@ def segment_max_narrow(
     cap = csr.capacity
     n = csr.num_nodes
     k_pad = max(_round_up(k, 8), 8)
+    # bs/be ride as f32 rows (exact transpose in-kernel needs < 2^24);
+    # a >16M-edge single row block falls back to the XLA segment max.
+    f32_ranges = int(meta.be.max()) < (1 << 24)
 
     @jax.custom_vjp
     def f(v):
         vf = v.reshape(cap, k).astype(jnp.float32)
+        if not f32_ranges:
+            vals = jnp.where(edge_mask[:, None] > 0, vf, -jnp.inf)
+            out = jax.ops.segment_max(vals, rows_c, num_segments=n)
+            out = jnp.where(jnp.isneginf(out), 0.0, out)
+            return out.reshape((n,) + trailing).astype(edge_vals.dtype)
         # Padding edges cannot contaminate a real row's max: they sit
         # beyond every row's [bs, be) range (be <= indptr[n]), so only
         # in-bounds reads are needed — pad, transpose to (K_pad, CAP_pad).
@@ -382,8 +411,8 @@ def segment_max_narrow(
             num_scalar_prefetch=2,
             grid=(meta.num_blocks,),
             in_specs=[
-                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
-                pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, 1, ROW_BLOCK), lambda rb, *_: (rb, 0, 0)),
+                pl.BlockSpec((1, 1, ROW_BLOCK), lambda rb, *_: (rb, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec(
@@ -411,8 +440,8 @@ def segment_max_narrow(
         )(
             meta.astart,
             meta.nchunks,
-            meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1),
-            meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1),
+            meta.bs.astype(np.float32),
+            meta.be.astype(np.float32),
             vt,
         )
         return out[:n, :k].reshape((n,) + trailing).astype(edge_vals.dtype)
