@@ -5,25 +5,24 @@ data-parallel — each window threads its own hidden state through time, so
 different windows can train on different device groups while every group
 keeps the graph edge-partitioned over its 'graph' sub-axis.
 
-Mechanics: one OUTER ``shard_map`` manual over the 'data' axis splits the
-window batch; inside it the existing graph-manual primitives
-(``dist_tgcn_cell`` → ``dist_spmm`` halo exchange) nest via
-``manual_shard_map``'s context-mesh path (``parallel/mesh.py``). Gradients
-w.r.t. the replicated parameters are summed across 'data' by the shard_map
-transpose automatically — there is no hand-written gradient reduction.
+Mechanics: ONE flat ``shard_map`` manual over BOTH axes. Inside it the
+graph-manual primitives (``dist_tgcn_cell`` → ``dist_spmm`` halo
+exchange) run in ``manual_shard_map``'s bypass mode (``parallel/mesh.py``):
+since 'graph' is already manual, no inner shard_map is constructed — the
+shard-local bodies run inline, with the host-constant graph metadata
+sliced per shard via ``axis_index``. This flat structure exists because
+jax 0.9's sdy verifier rejects TRANSPOSING a nested shard_map ("Saw
+manual axis 'graph' after free axis 'data'") — nesting works forward but
+not under ``jax.grad``; a single flat manual region differentiates fine,
+so 2-D-mesh training trains (``tests/test_batch2d.py`` grads test).
+
+Gradients w.r.t. the replicated parameters are summed across 'data' and
+'graph' by the flat shard_map transpose automatically — there is no
+hand-written gradient reduction.
 
 Net-new vs the reference (single-GPU, one window at a time —
 ``benchmarking/static-temporal-tgcn/seastar/train.py:124-131`` processes
 ``backprop_every`` windows strictly sequentially).
-
-Known limitation (jax 0.9): the FORWARD nests and matches the sequential
-oracle, but TRANSPOSING the nested shard_map (``jax.grad``) trips an sdy
-verifier bug — the inner manual computation's operand shardings order the
-outer free axis before the inner manual axis ("Saw manual axis 'graph'
-after free axis 'data'"). Tracked by the strict-xfail
-``tests/test_batch2d.py::test_batched_tgcn_grads_match_sequential``;
-training on 2-D meshes is gated on a jax fix (or on threading gradients
-per data-shard once sdy accepts nested transposes).
 """
 
 from __future__ import annotations
@@ -68,8 +67,13 @@ def dist_tgcn_batched_loss(
 
     Each window runs its own hidden-state scan; windows are split across
     ``data_axis``. Differentiable: ``jax.grad`` w.r.t. ``params`` yields
-    the batch-mean gradient (the outer shard_map transpose psums the
-    replicated-parameter cotangents over 'data').
+    the batch-mean gradient (the flat shard_map transpose psums the
+    replicated-parameter cotangents over both axes).
+
+    Padding rows (index >= ``dg.num_nodes``) are masked out of the loss:
+    TGCN GRU biases make hidden nonzero even on zero-input rows, so an
+    unmasked mean would add spurious padding-row error terms and count
+    fake nodes in the denominator.
     """
     if mesh.shape.get(data_axis, 1) > 1 and (
         xs_b.shape[0] % mesh.shape[data_axis]
@@ -80,19 +84,29 @@ def dist_tgcn_batched_loss(
         )
     b_local = xs_b.shape[0] // mesh.shape.get(data_axis, 1)
     out_feats = params["conv_z"]["weight"].shape[1]
+    ns = dg.nodes_per_shard
+    n_real = dg.num_nodes
 
-    def outer(p, norm_a, xs_l, ys_l):
+    def outer(p, norm_l, xs_l, ys_l):
+        # Shard-local slice of the real-row mask (global row id < n_real).
+        gid0 = jax.lax.axis_index("graph") * ns
+        mask = (gid0 + jnp.arange(ns) < n_real)[:, None]
+
         def one_window(xs, ys):
             def step(hidden, xy):
                 x_t, y_t = xy
-                hidden = dist_tgcn_cell(mesh, dg, p, x_t, norm_a, hidden)
-                return hidden, jnp.mean((hidden - y_t) ** 2)
+                hidden = dist_tgcn_cell(mesh, dg, p, x_t, norm_l, hidden)
+                err = jnp.where(mask, (hidden - y_t) ** 2, 0.0)
+                loss_t = jax.lax.psum(err.sum(), "graph") / (
+                    n_real * out_feats
+                )
+                return hidden, loss_t
 
-            # The carry becomes data-varying after the first cell call;
+            # The carry becomes axis-varying after the first cell call;
             # seed it as varying so scan's carry types are stable.
             h0 = jax.lax.pcast(
-                jnp.zeros((xs.shape[1], out_feats), xs.dtype),
-                (data_axis,), to="varying",
+                jnp.zeros((ns, out_feats), xs.dtype),
+                (data_axis, "graph"), to="varying",
             )
             _, losses = jax.lax.scan(step, h0, (xs, ys))
             return losses.mean()
@@ -105,8 +119,13 @@ def dist_tgcn_batched_loss(
     run = manual_shard_map(
         outer,
         mesh=mesh,
-        in_specs=(P(), P(), P(data_axis), P(data_axis)),
+        in_specs=(
+            P(),
+            P("graph", None),
+            P(data_axis, None, "graph", None),
+            P(data_axis, None, "graph", None),
+        ),
         out_specs=P(),
-        axes=(data_axis,),
+        axes=(data_axis, "graph"),
     )
     return run(params, norm, xs_b, ys_b)

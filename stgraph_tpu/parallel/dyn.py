@@ -244,25 +244,36 @@ def dist_dyn_apply_delta(
     return rows2, cols2, (w2 if weighted else None), ne2
 
 
-def _shard_rowid_agg(local_r, w_eff, gathered, ns: int, interpret: bool):
-    """Differentiable per-shard aggregation on the row-id kernel.
+def _shard_agg(
+    local_r, w_eff, gathered, ns: int, use_kernel: bool, interpret: bool
+):
+    """Differentiable per-shard aggregation (kernel or jnp backend).
 
     ``local_r`` is live-sorted with sentinel ``ns``; ``gathered`` holds
     features in store order. The VJP w.r.t. ``gathered`` is a pure gather
     of the output cotangent by ``local_r`` (no scatter); row ids and edge
-    weights are graph data (zero cotangent), matching ``ops.dyn_spmm``.
+    weights are graph data (zero cotangent), matching ``ops.dyn_spmm`` —
+    and BOTH backends share this VJP, so TPU and CPU gradients agree.
     """
     f = gathered.shape[1]
 
+    def impl(r, w_, g_):
+        if use_kernel:
+            out, _ = spmm_rowid_traced(
+                r, w_, g_, ns, heads=1, interpret=interpret
+            )
+            return out[:ns, :f]
+        gv = jnp.where((r < ns)[:, None], g_ * w_[:, None], 0.0)
+        return jax.ops.segment_sum(
+            gv, jnp.minimum(r, ns), num_segments=ns + 1
+        )[:ns]
+
     @jax.custom_vjp
     def run(r, w_, g_):
-        out, _ = spmm_rowid_traced(
-            r, w_, g_, ns, heads=1, interpret=interpret
-        )
-        return out[:ns, :f]
+        return impl(r, w_, g_)
 
     def run_fwd(r, w_, g_):
-        return run(r, w_, g_), (r, w_)
+        return impl(r, w_, g_), (r, w_)
 
     def run_bwd(res, gout):
         r, w_ = res
@@ -313,25 +324,24 @@ def dist_dyn_spmm(
         c = cols[0]
         gathered = h_full[jnp.minimum(c, n - 1)]
         local_r = jnp.where(r < n, r - pp * ns, ns).astype(jnp.int32)
+        w_eff = w_[0] if weighted else jnp.ones((cap,), jnp.float32)
         if use_kernel:
             pad = cap_pad - cap
-            r_pad = jnp.concatenate(
+            local_r = jnp.concatenate(
                 [local_r, jnp.full((pad,), ns, jnp.int32)]
             )
-            w_eff = w_[0] if weighted else jnp.ones((cap,), jnp.float32)
-            w_pad = jnp.concatenate([w_eff, jnp.zeros((pad,), jnp.float32)])
-            g_pad = jnp.concatenate(
+            w_eff = jnp.concatenate([w_eff, jnp.zeros((pad,), jnp.float32)])
+            gathered = jnp.concatenate(
                 [
                     gathered.astype(jnp.float32),
                     jnp.zeros((pad, gathered.shape[1]), jnp.float32),
                 ]
             )
-            return _shard_rowid_agg(r_pad, w_pad, g_pad, ns, interpret)
-        if weighted:
-            gathered = gathered * w_[0][:, None]
-        gathered = jnp.where((r < n)[:, None], gathered, 0.0)
-        out = jax.ops.segment_sum(gathered, local_r, num_segments=ns + 1)
-        return out[:ns]
+        out = _shard_agg(
+            local_r, w_eff, gathered.astype(jnp.float32), ns,
+            use_kernel, interpret,
+        )
+        return out.astype(h_local.dtype)
 
     spec_e = P("graph", None)
     out = manual_shard_map(

@@ -76,15 +76,10 @@ def test_batched_tgcn_matches_sequential(rng):
     )
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="jax 0.9 sdy bug: transposing a shard_map nested inside an "
-    "outer manual region emits inner-manual-computation operand shardings "
-    "with the outer free axis ordered before the inner manual axis "
-    "('Saw manual axis \"graph\" after free axis \"data\"'). Forward is "
-    "fine (test above); remove the xfail when jax fixes the transpose.",
-)
 def test_batched_tgcn_grads_match_sequential(rng):
+    """2-D-mesh training trains: the flat manual region over both axes
+    (manual_shard_map bypass mode) sidesteps the jax 0.9 sdy
+    nested-transpose bug, so jax.grad works end to end."""
     dg, params, norm, xs, ys, fout = _setup(rng)
     mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
                   ("data", "graph"))
