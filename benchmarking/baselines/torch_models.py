@@ -68,16 +68,20 @@ class TorchGATLayer(torch.nn.Module):
         super().__init__()
         self.heads, self.f_out, self.slope = heads, f_out, negative_slope
         self.fc = torch.nn.Linear(f_in, heads * f_out, bias=False)
-        self.attn_l = torch.nn.Parameter(torch.empty(1, heads, f_out))
-        self.attn_r = torch.nn.Parameter(torch.empty(1, heads, f_out))
-        torch.nn.init.xavier_normal_(self.fc.weight)
-        torch.nn.init.xavier_normal_(self.attn_l)
-        torch.nn.init.xavier_normal_(self.attn_r)
+        # Reference init exactly: (H, F) attn params, xavier_normal with
+        # gain = calculate_gain('relu') on fc and both attention vectors
+        # (reference gat_conv.py:22-38) — matching stgraph_tpu.nn.GATConv.
+        self.attn_l = torch.nn.Parameter(torch.empty(heads, f_out))
+        self.attn_r = torch.nn.Parameter(torch.empty(heads, f_out))
+        gain = torch.nn.init.calculate_gain("relu")
+        torch.nn.init.xavier_normal_(self.fc.weight, gain=gain)
+        torch.nn.init.xavier_normal_(self.attn_l, gain=gain)
+        torch.nn.init.xavier_normal_(self.attn_r, gain=gain)
 
     def forward(self, src, dst, n, x):
         z = self.fc(x).view(n, self.heads, self.f_out)
-        el = (z * self.attn_l).sum(-1)  # (N, H)
-        er = (z * self.attn_r).sum(-1)
+        el = (z * self.attn_l[None]).sum(-1)  # (N, H)
+        er = (z * self.attn_r[None]).sum(-1)
         s = F.leaky_relu(el[src] + er[dst], self.slope)  # (E, H)
         smax = torch.full((n, self.heads), -torch.inf).scatter_reduce(
             0, dst[:, None].expand_as(s), s, reduce="amax", include_self=True

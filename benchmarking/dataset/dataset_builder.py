@@ -27,9 +27,17 @@ def build(
     delete_coeff: float,
     timestamps: int,
     seed: int = 0,
+    sparse: bool = False,
 ) -> dict:
+    """``sparse=True`` interprets the multiplier as edges-per-node
+    (``E = N * M``) — the reference's ``dataset_builder_modified.py``
+    semantics for super-large sparse graphs; the default quadratic
+    interpretation (``E = N^2 * M``) matches ``dataset_builder.py``."""
     rng = np.random.default_rng(seed)
-    target_edges = max(int(num_nodes * num_nodes * edge_multiplier), 1)
+    if sparse:
+        target_edges = max(int(num_nodes * edge_multiplier), 1)
+    else:
+        target_edges = max(int(num_nodes * num_nodes * edge_multiplier), 1)
 
     def sample(k: int) -> np.ndarray:
         e = rng.integers(0, num_nodes, (int(k * 1.2) + 8, 2), dtype=np.int64)
@@ -71,10 +79,18 @@ def main() -> None:
     ap.add_argument("-D", type=float, default=0.1, help="delete coefficient per step")
     ap.add_argument("-T", type=int, default=25, help="timestamps")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--sparse", action="store_true",
+        help="edges-per-node density (E = N*M) for super-large sparse "
+        "graphs (reference dataset_builder_modified.py semantics)",
+    )
     ap.add_argument("-o", "--out", default=None, help="output JSON path")
     args = ap.parse_args()
 
-    data = build(args.N, args.M, args.A, args.D, args.T, args.seed)
+    data = build(
+        args.N, args.M, args.A, args.D, args.T, args.seed,
+        sparse=args.sparse,
+    )
     out = args.out or f"{args.dataset_name}.json"
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     with open(out, "w") as fh:

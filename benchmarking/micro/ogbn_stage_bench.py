@@ -85,9 +85,9 @@ def main() -> None:
 
     results = {}
 
-    def run(stage, name, make_fn, x0, per_edge_of):
+    def run(stage, name, make_fn, x0, per_edge_of, iters=None):
         t0 = time.perf_counter()
-        dt = bench_chained(make_fn, x0, iters=args.iters)
+        dt = bench_chained(make_fn, x0, iters=iters or args.iters)
         rate = per_edge_of / dt / 1e6
         results[(stage, name)] = dt
         print(
@@ -100,15 +100,19 @@ def main() -> None:
         if "gather" in stages:
             idx_f = jax.lax.slice(sids, (lo,), (lo + win,))
             idx_b = jax.lax.slice(sids_t, (lo,), (lo + win,))
+            # The raw gather is a SHORT program; at <~1 s of chained work
+            # the relay acks before executing and the measurement reads ~0
+            # (docs/PERF.md, timing methodology). 64 chained iterations
+            # put it far past the relay pipeline window.
             run(
                 "gather_fwd", name,
                 lambda i=idx_f: (lambda x: jnp.sum(x[i], dtype=jnp.float32)),
-                h, win,
+                h, win, iters=64,
             )
             run(
                 "gather_bwd", name,
                 lambda i=idx_b: (lambda x: jnp.sum(x[i], dtype=jnp.float32)),
-                h, win,
+                h, win, iters=64,
             )
         if "spmm" in stages:
             run(

@@ -71,9 +71,17 @@ class STGraphDataset(ABC):
         if STGraphDataset._offline:
             return False
 
+        # Mirror support (air-gapped deployments and the offline URL-path
+        # tests): STGRAPH_TPU_DATASET_MIRROR=<base-url> fetches
+        # <base-url>/<original filename> instead of the upstream host.
+        url = self._url
+        mirror = os.environ.get("STGRAPH_TPU_DATASET_MIRROR")
+        if mirror:
+            url = mirror.rstrip("/") + "/" + url.rsplit("/", 1)[-1]
+
         def fetch():
             with urllib.request.urlopen(
-                self._url, timeout=self._download_timeout
+                url, timeout=self._download_timeout
             ) as resp:
                 return json.loads(resp.read().decode("utf-8"))
 

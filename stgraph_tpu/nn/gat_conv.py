@@ -44,24 +44,33 @@ class GATConv(fnn.Module):
     def __call__(
         self, graph, feat: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        # Reference init: xavier_normal with gain = calculate_gain('relu')
+        # = sqrt(2) on fc and both attention vectors (reference
+        # gat_conv.py:33-38). variance_scaling's scale is the VARIANCE
+        # multiplier, so gain^2 = 2.0 reproduces it.
+        relu_xavier = fnn.initializers.variance_scaling(
+            2.0, "fan_avg", "normal"
+        )
         fc = fnn.Dense(
             self.out_feats * self.num_heads,
             use_bias=False,
-            kernel_init=fnn.initializers.xavier_normal(),
+            kernel_init=relu_xavier,
             name="fc",
         )
+        # Attn params are (H, F) like the reference (fan_in = F,
+        # fan_out = H), broadcast to (1, H, F) at use.
         attn_l = self.param(
             "attn_l",
-            fnn.initializers.xavier_normal(),
-            (1, self.num_heads, self.out_feats),
+            relu_xavier,
+            (self.num_heads, self.out_feats),
             feat.dtype,
-        )
+        )[None]
         attn_r = self.param(
             "attn_r",
-            fnn.initializers.xavier_normal(),
-            (1, self.num_heads, self.out_feats),
+            relu_xavier,
+            (self.num_heads, self.out_feats),
             feat.dtype,
-        )
+        )[None]
 
         # Attention dropout (DGL semantics: dropout on the NORMALIZED
         # coefficients). The reference declares attn_drop and never applies
