@@ -43,7 +43,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from benchmarking.micro._timing import bench_chained
+    from benchmarking.micro._timing import bench_chained, readback_rtt
     from stgraph_tpu.dataset import OgbNodeDataLoader
     from stgraph_tpu.graph.csr import build_csr
     from stgraph_tpu.graph.reorder import locality_order, relabel_edges
@@ -115,30 +115,51 @@ def main() -> None:
                 h, win, iters=64,
             )
         if "spmm" in stages:
-            run(
-                "spmm_fwd", name,
-                lambda c=csr, ct=csr_t, si=sids, st=sids_t: (
-                    lambda x: jnp.sum(
-                        spmm_pallas.spmm(
-                            c, x, csr_t=ct, src_ids=si, src_ids_t=st
-                        ),
-                        dtype=jnp.float32,
-                    )
-                ),
-                h, e,
+            # The full segmented SpMM is a BIG module; chaining it inside
+            # a scan triples it past the relay's remote-compile limit
+            # (broken pipe). Single-dispatch + readback is honest here —
+            # the program runs ~1 s, far past the relay's ack pipeline
+            # (same methodology as bench.py's ogbn metric).
+            def run_single(stage, fn, burst=6):
+                # Burst timing: enqueue `burst` dispatches, drain ONCE via
+                # the last result's readback. A single ~700 ms program can
+                # still sit inside the relay's ack pipeline and read fast
+                # (docs/PERF.md); a multi-second burst cannot.
+                t0 = time.perf_counter()
+                float(fn(h, sids, sids_t))  # compile + warm + drain
+                rtt = readback_rtt()
+                t1 = time.perf_counter()
+                out = None
+                for _ in range(burst):
+                    out = fn(h, sids, sids_t)
+                float(out)
+                dt = (time.perf_counter() - t1 - rtt) / burst
+                results[(stage, name)] = dt
+                print(
+                    f"{stage:12s} {name:8s} {dt*1e3:8.1f} ms  "
+                    f"{e/dt/1e6:7.1f}M edges/s  "
+                    f"(wall {time.perf_counter()-t0:.0f}s)",
+                    flush=True,
+                )
+
+            fwd = jax.jit(
+                lambda x, si, st, c=csr, ct=csr_t: jnp.sum(
+                    spmm_pallas.spmm(
+                        c, x, csr_t=ct, src_ids=si, src_ids_t=st
+                    ),
+                    dtype=jnp.float32,
+                )
             )
-            run(
-                "spmm_bwd", name,
-                lambda c=csr, ct=csr_t, si=sids, st=sids_t: (
-                    lambda x: jnp.sum(
-                        spmm_pallas.spmm(
-                            ct, x, csr_t=c, src_ids=st, src_ids_t=si
-                        ),
-                        dtype=jnp.float32,
-                    )
-                ),
-                h, e,
+            bwd = jax.jit(
+                lambda x, si, st, c=csr, ct=csr_t: jnp.sum(
+                    spmm_pallas.spmm(
+                        ct, x, csr_t=c, src_ids=st, src_ids_t=si
+                    ),
+                    dtype=jnp.float32,
+                )
             )
+            run_single("spmm_fwd", fwd)
+            run_single("spmm_bwd", bwd)
 
     for (stage, name), dt in sorted(results.items()):
         print(f"RESULT {stage} {name} {dt*1e3:.1f} ms", flush=True)

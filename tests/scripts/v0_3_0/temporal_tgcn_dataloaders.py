@@ -11,6 +11,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, ".."))
 sys.path.insert(0, os.path.abspath(os.path.join(HERE, "..", "..", "..")))
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import stgraph_script  # noqa: E402
 
 stgraph_script.OUT_DIR = os.path.join(HERE, "outputs")
