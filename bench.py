@@ -257,6 +257,156 @@ def bench_ogbn_spmm(scale=1.0):
     }
 
 
+def bench_ogbn_step(scale=1.0, hidden=128):
+    """Full-scale ogbn-products 3-layer GCN TRAINING step (fwd+bwd).
+
+    The honest first-class number (round-4 finding: locality reordering
+    exactly swaps fwd/bwd SpMM cost, so it cannot improve this metric;
+    measured base order). mp-edges/s counts 6 SpMMs per step, matching
+    the round-3 convention."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from stgraph_tpu.dataset import OgbNodeDataLoader
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops import spmm_pallas
+    from stgraph_tpu.utils.norm import symmetric_norm
+
+    d = OgbNodeDataLoader("ogbn-products", scale=scale)
+    n, e = d.gdata["num_nodes"], d.gdata["num_edges"]
+    f, classes = d.gdata["num_feats"], d.gdata["num_classes"]
+    ei = d.get_edge_index()
+    csr = build_csr(ei[0], ei[1], n)
+    csr_t = csr.transpose()
+    norm = np.asarray(symmetric_norm(csr))
+    _, _, cols_np, _ = csr.host_arrays()
+    _, _, cols_t_np, _ = csr_t.host_arrays()
+    sids = jax.device_put(np.minimum(cols_np, n - 1))
+    sids_t = jax.device_put(np.minimum(cols_t_np, n - 1))
+    rng = np.random.default_rng(0)
+    dims = [f, hidden, hidden, classes]
+    params = {
+        f"w{i}": jnp.asarray(
+            rng.standard_normal((dims[i], dims[i + 1])) * 0.05, jnp.float32
+        )
+        for i in range(3)
+    }
+    xd = jax.device_put(d.get_all_features().astype(np.float32))
+    yd = jax.device_put(d.get_all_targets())
+
+    @jax.jit
+    def step(p, xx, yy, si, st):
+        def loss_fn(p):
+            h = xx
+            for i in range(3):
+                h = (h @ p[f"w{i}"]) * norm
+                h = spmm_pallas.spmm(
+                    csr, h, csr_t=csr_t, src_ids=si, src_ids_t=st
+                ) * norm
+                if i < 2:
+                    h = jax.nn.relu(h)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                h, yy
+            ).mean()
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    loss, _ = step(params, xd, yd, sids, sids_t)
+    _ = float(loss)  # compile + warm + drain
+    t0 = time.perf_counter()
+    loss, _ = step(params, xd, yd, sids, sids_t)
+    _ = float(loss)
+    dt = max(time.perf_counter() - t0 - _rtt(), 1e-9)
+    return {
+        "ogbn_step_s": dt,
+        "ogbn_step_edges_per_s": 6 * e / dt,
+        "ogbn_num_edges": e,
+        "synthetic": d.synthetic,
+    }
+
+
+def bench_dyn(cap=2_000_000, nodes=1_100_000, slide=10_000, steps=5, f=128):
+    """Dynamic-graph step at wiki-talk scale: dual-PMA delta replay +
+    row-id-kernel aggregation in one scan (the pma-scan DTDG path), plus
+    the structure-update rate alone."""
+    import jax
+    import jax.numpy as jnp
+    from stgraph_tpu.ops.dyn_spmm import (
+        apply_delta_pair,
+        pma_pair_from_edges,
+        pma_spmm,
+    )
+
+    rng = np.random.default_rng(0)
+    e0 = cap - 8 * slide
+    keys = np.unique(
+        rng.integers(0, nodes, e0 * 2).astype(np.int64) * nodes
+        + rng.integers(0, nodes, e0 * 2)
+    )[:e0]
+    rows0 = (keys // nodes).astype(np.int32)
+    cols0 = (keys % nodes).astype(np.int32)
+    adds = np.full((steps, slide, 2), nodes, np.int32)
+    dels = np.full((steps, slide, 2), nodes, np.int32)
+    for t in range(steps):
+        sel = rng.choice(e0, slide, replace=False)
+        dels[t, :, 0] = rows0[sel]
+        dels[t, :, 1] = cols0[sel]
+        adds[t, :, 0] = rng.integers(0, nodes, slide)
+        adds[t, :, 1] = rng.integers(0, nodes, slide)
+    S = 1024
+    C = (cap + S - 1) // S * 2
+    pair0 = pma_pair_from_edges(
+        cols0, rows0, nodes, num_chunks=C, chunk_size=S
+    )
+    feats = jax.device_put(
+        rng.standard_normal((nodes, f)).astype(np.float32)
+    )
+    adds_j, dels_j = jnp.asarray(adds), jnp.asarray(dels)
+
+    @jax.jit
+    def run_step(pair, feats, a, dl):
+        def body(pair, xs):
+            aa, dd = xs
+            pair = apply_delta_pair(
+                pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1]
+            )
+            out = pma_spmm(pair, feats)
+            return pair, jnp.sum(out, dtype=jnp.float32)
+
+        _, sums = jax.lax.scan(body, pair, (a, dl))
+        return sums[-1]
+
+    @jax.jit
+    def run_updates(pair, a, dl):
+        def body(pair, xs):
+            aa, dd = xs
+            pair = apply_delta_pair(
+                pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1]
+            )
+            return pair, pair.fwd.num_edges
+
+        _, counts = jax.lax.scan(body, pair, (a, dl))
+        return counts[-1]
+
+    _drain(run_step(pair0, feats, adds_j, dels_j))
+    t0 = time.perf_counter()
+    _drain(run_step(pair0, feats, adds_j, dels_j))
+    dt_step = max(time.perf_counter() - t0 - _rtt(), 1e-9) / steps
+
+    _drain(run_updates(pair0, adds_j, dels_j))
+    t0 = time.perf_counter()
+    _drain(run_updates(pair0, adds_j, dels_j))
+    dt_upd = max(time.perf_counter() - t0 - _rtt(), 1e-9) / steps
+
+    return {
+        "dyn_step_s": dt_step,
+        "dyn_spmm_edges_per_s": e0 / dt_step,
+        "dyn_update_s": dt_upd,
+        "dyn_updates_per_s": 2 * slide / dt_upd,
+        "dyn_num_edges": e0,
+    }
+
+
 def bench_pallas_spmm(n=100_000, e=2_000_000, f=128):
     """Large-graph SpMM throughput (Pallas path on TPU, jnp elsewhere)."""
     import jax
@@ -425,6 +575,33 @@ def main():
         )
     except Exception as exc:
         print(f"ogbn bench failed: {exc}", file=sys.stderr)
+    try:
+        os_ = bench_ogbn_step(scale=args.ogbn_scale)
+        emit(
+            "ogbn_gcn_step_edges_per_s", os_["ogbn_step_edges_per_s"],
+            "mp-edges/s/chip",
+            ogbn_step_s=os_["ogbn_step_s"],
+            num_edges=os_["ogbn_num_edges"],
+            synthetic=os_["synthetic"],
+            reordered=False,
+        )
+    except Exception as exc:
+        print(f"ogbn step bench failed: {exc}", file=sys.stderr)
+    try:
+        dy = bench_dyn()
+        emit(
+            "dyn_spmm_edges_per_s", dy["dyn_spmm_edges_per_s"],
+            "edges/s/chip",
+            dyn_step_s=dy["dyn_step_s"],
+            num_edges=dy["dyn_num_edges"],
+        )
+        emit(
+            "dyn_updates_per_s", dy["dyn_updates_per_s"],
+            "edge-updates/s/chip",
+            dyn_update_s=dy["dyn_update_s"],
+        )
+    except Exception as exc:
+        print(f"dyn bench failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1919,11 +1919,21 @@ def spmm_rowid_traced(
 def _rowmask_segments(meta: RowBlockMeta, f_pad: int, itemsize: int):
     """Partition row blocks into (b0, b1, lo, hi) segments whose gathered
     feature plane fits ``_SEGMENT_BYTES``. lo/hi are 128-aligned CSR
-    positions (astart and chunk ends are 128-aligned by construction)."""
+    positions (astart and chunk ends are 128-aligned by construction).
+
+    The row budget backs off 128 rows from the byte boundary: XLA's
+    row gather has a measured ~2.2x performance cliff at certain plane
+    sizes — in particular the saturated power-of-two budget (a
+    (2^21, 128) bf16 plane gathers at 92M rows/s where (2^21 ± 128, 128)
+    gathers at 206M; docs/PERF.md round-4 section). Saturated segments
+    land exactly on the budget, so the budget itself must be a
+    measured-fast size."""
     astart = meta.astart.astype(np.int64)
     ends = astart + meta.nchunks.astype(np.int64) * EDGE_CHUNK
     nb = meta.num_blocks
-    budget = max(_SEGMENT_BYTES // max(f_pad * itemsize, 1), EDGE_CHUNK)
+    budget = max(
+        _SEGMENT_BYTES // max(f_pad * itemsize, 1) - 128, EDGE_CHUNK
+    )
     segs = []
     b0 = 0
     while b0 < nb:
