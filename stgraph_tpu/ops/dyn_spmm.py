@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,6 +53,11 @@ __all__ = [
     "pma_spmm",
     "dyn_degree",
     "pma_norm",
+    "LazyPair",
+    "lazy_pair_from_edges",
+    "apply_delta_lazy_pair",
+    "lazy_spmm",
+    "lazy_norm",
 ]
 
 
@@ -214,6 +220,145 @@ def pma_spmm(
         node_feat.astype(jnp.float32),
     )
     return out[:, :f_in].astype(node_feat.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Lazy store pair: the O(delta)-update dynamic graph (graph/lazy_store.py)
+# with the same dual fwd/bwd structure and kernel aggregation as the PMA
+# pair. Updates are tombstone+log (no capacity-wide passes per step);
+# aggregation = row-id kernel over the sorted main store (zero-weight
+# tombstones contribute nothing) + a small masked segment-sum over the
+# tail log.
+# ---------------------------------------------------------------------------
+
+
+class LazyPair(NamedTuple):
+    """Dual lazy stores: ``fwd`` keyed by (dst, src), ``bwd`` by
+    (src, dst) — the backward pass aggregates on the twin."""
+
+    fwd: "LazyStore"
+    bwd: "LazyStore"
+
+    @property
+    def num_nodes(self) -> int:
+        return self.fwd.num_nodes
+
+
+def lazy_pair_from_edges(
+    src, dst, num_nodes: int, capacity: int, tail_capacity: int,
+    weights=None,
+) -> LazyPair:
+    from stgraph_tpu.graph.lazy_store import lazy_from_edges
+
+    return LazyPair(
+        fwd=lazy_from_edges(
+            src, dst, num_nodes, capacity, tail_capacity, weights=weights
+        ),
+        bwd=lazy_from_edges(
+            dst, src, num_nodes, capacity, tail_capacity, weights=weights
+        ),
+    )
+
+
+def apply_delta_lazy_pair(
+    pair: LazyPair, add_src, add_dst, del_src, del_dst, add_weights=None
+) -> LazyPair:
+    from stgraph_tpu.graph.lazy_store import apply_delta_lazy
+
+    return LazyPair(
+        fwd=apply_delta_lazy(
+            pair.fwd, add_dst, add_src, del_dst, del_src,
+            add_weights=add_weights,
+        ),
+        bwd=apply_delta_lazy(
+            pair.bwd, add_src, add_dst, del_src, del_dst,
+            add_weights=add_weights,
+        ),
+    )
+
+
+def _lazy_one_side(store, node_feat, n, interpret):
+    """Main-store kernel aggregation + tail segment-sum for one store."""
+    cap_pad = _round_up(store.capacity, EDGE_CHUNK) + EDGE_CHUNK
+    rows = _pad_flat(store.rows, cap_pad, n)
+    cols = _pad_flat(store.cols, cap_pad, n)
+    w = _pad_flat(store.w, cap_pad, 0.0)
+    use_kernel = interpret or _on_tpu()
+    if use_kernel:
+        gathered = node_feat[jnp.minimum(cols, n - 1)]
+        out, _ = spmm_rowid_traced(
+            rows, w, gathered, n, heads=1, interpret=interpret
+        )
+        main = out[:n, : node_feat.shape[1]]
+    else:
+        main = _jnp_spmm(rows, cols, w, node_feat, n)
+    t_gath = node_feat[jnp.minimum(store.tail_cols, n - 1)]
+    t_gath = t_gath * store.tail_w[:, None]
+    t_gath = jnp.where((store.tail_rows < n)[:, None], t_gath, 0.0)
+    tail = jax.ops.segment_sum(
+        t_gath, jnp.minimum(store.tail_rows, n), num_segments=n + 1
+    )[:n]
+    return main + tail
+
+
+def lazy_spmm(
+    pair: LazyPair, node_feat: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """``out[d] = sum_{(s,d) live} w_e * node_feat[s]`` over the lazy pair.
+
+    Differentiable in ``node_feat`` (backward aggregates on the twin);
+    edge weights are graph data (zero cotangent), matching ``pma_spmm``.
+    """
+    n = pair.num_nodes
+    f_in = node_feat.shape[-1]
+
+    @jax.custom_vjp
+    def run(fwd_store, bwd_store, feat):
+        return _lazy_one_side(fwd_store, feat, n, interpret)
+
+    def run_fwd(fwd_store, bwd_store, feat):
+        return run(fwd_store, bwd_store, feat), bwd_store
+
+    def run_bwd(bwd_store, g):
+        dfeat = _lazy_one_side(bwd_store, g, n, interpret)
+
+        def zeros_like_store(s):
+            return jax.tree_util.tree_map(
+                lambda x: (
+                    np.zeros(x.shape, jax.dtypes.float0)
+                    if jnp.issubdtype(x.dtype, jnp.integer)
+                    else jnp.zeros_like(x)
+                ),
+                s,
+            )
+
+        return (
+            zeros_like_store(bwd_store),
+            zeros_like_store(bwd_store),
+            dfeat.astype(g.dtype),
+        )
+
+    run.defvjp(run_fwd, run_bwd)
+    out = run(pair.fwd, pair.bwd, node_feat.astype(jnp.float32))
+    return out[:, :f_in].astype(node_feat.dtype)
+
+
+def lazy_norm(pair: LazyPair, interpret: bool = False) -> jnp.ndarray:
+    """(N, 1) ``in_degree^{-1/2}`` over live edges, zero-degree -> 1."""
+    n = pair.num_nodes
+    st = pair.fwd
+    cap_pad = _round_up(st.capacity, EDGE_CHUNK) + EDGE_CHUNK
+    rows = _pad_flat(st.rows, cap_pad, n)
+    w = _pad_flat(jnp.where(st.w > 0, 1.0, 0.0), cap_pad, 0.0)
+    deg = dyn_degree(rows, w, n, interpret=interpret)
+    t_live = jnp.where(st.tail_rows < n, 1.0, 0.0) * jnp.where(
+        st.tail_w > 0, 1.0, 0.0
+    )
+    deg = deg + jax.ops.segment_sum(
+        t_live, jnp.minimum(st.tail_rows, n), num_segments=n + 1
+    )[:n]
+    norm = jnp.where(deg > 0, jnp.power(jnp.maximum(deg, 1.0), -0.5), 1.0)
+    return norm[:, None]
 
 
 # ---------------------------------------------------------------------------
