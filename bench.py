@@ -325,20 +325,21 @@ def bench_ogbn_step(scale=1.0, hidden=128):
     }
 
 
-def bench_dyn(cap=2_000_000, nodes=1_100_000, slide=10_000, steps=5, f=128):
-    """Dynamic-graph step at wiki-talk scale: dual-PMA delta replay +
-    row-id-kernel aggregation in one scan (the pma-scan DTDG path), plus
-    the structure-update rate alone."""
+def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=40, f=128):
+    """Dynamic-graph step at wiki-talk scale on the LAZY store (tombstone
+    + tail-log O(delta) updates, row-id-kernel aggregation) in one scan —
+    the flagship DTDG path — plus the structure-update rate alone.
+    ``steps=40`` keeps the scan well past the relay's ack pipeline."""
     import jax
     import jax.numpy as jnp
     from stgraph_tpu.ops.dyn_spmm import (
-        apply_delta_pair,
-        pma_pair_from_edges,
-        pma_spmm,
+        apply_delta_lazy_pair,
+        lazy_pair_from_edges,
+        lazy_spmm,
     )
 
     rng = np.random.default_rng(0)
-    e0 = cap - 8 * slide
+    e0 = cap - 280_000
     keys = np.unique(
         rng.integers(0, nodes, e0 * 2).astype(np.int64) * nodes
         + rng.integers(0, nodes, e0 * 2)
@@ -353,10 +354,8 @@ def bench_dyn(cap=2_000_000, nodes=1_100_000, slide=10_000, steps=5, f=128):
         dels[t, :, 1] = cols0[sel]
         adds[t, :, 0] = rng.integers(0, nodes, slide)
         adds[t, :, 1] = rng.integers(0, nodes, slide)
-    S = 1024
-    C = (cap + S - 1) // S * 2
-    pair0 = pma_pair_from_edges(
-        cols0, rows0, nodes, num_chunks=C, chunk_size=S
+    pair0 = lazy_pair_from_edges(
+        cols0, rows0, nodes, capacity=cap, tail_capacity=16 * slide
     )
     feats = jax.device_put(
         rng.standard_normal((nodes, f)).astype(np.float32)
@@ -367,10 +366,10 @@ def bench_dyn(cap=2_000_000, nodes=1_100_000, slide=10_000, steps=5, f=128):
     def run_step(pair, feats, a, dl):
         def body(pair, xs):
             aa, dd = xs
-            pair = apply_delta_pair(
+            pair = apply_delta_lazy_pair(
                 pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1]
             )
-            out = pma_spmm(pair, feats)
+            out = lazy_spmm(pair, feats)
             return pair, jnp.sum(out, dtype=jnp.float32)
 
         _, sums = jax.lax.scan(body, pair, (a, dl))
@@ -380,7 +379,7 @@ def bench_dyn(cap=2_000_000, nodes=1_100_000, slide=10_000, steps=5, f=128):
     def run_updates(pair, a, dl):
         def body(pair, xs):
             aa, dd = xs
-            pair = apply_delta_pair(
+            pair = apply_delta_lazy_pair(
                 pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1]
             )
             return pair, pair.fwd.num_edges

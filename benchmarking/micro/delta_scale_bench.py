@@ -191,6 +191,47 @@ def main() -> None:
             print(f"speedup merge vs legacy: {dt_old/dt_new:.1f}x", flush=True)
         print(f"speedup pma vs merge: {dt_new/dt_pma:.1f}x", flush=True)
 
+    # LAZY store (round 4, graph/lazy_store.py): tombstone + tail-log
+    # O(delta) updates — no capacity-wide pass per step; compaction
+    # amortized via lax.cond. This is the flagship update path.
+    from stgraph_tpu.ops.dyn_spmm import (
+        apply_delta_lazy_pair,
+        lazy_pair_from_edges,
+        lazy_spmm,
+    )
+
+    lazy0 = lazy_pair_from_edges(
+        cols0[:e0], rows0[:e0], n, capacity=cap, tail_capacity=16 * d
+    )
+
+    @jax.jit
+    def run_lazy_updates(pair):
+        def body(pair, xs):
+            a, dl = xs
+            pair = apply_delta_lazy_pair(
+                pair, a[:, 0], a[:, 1], dl[:, 0], dl[:, 1]
+            )
+            return pair, pair.fwd.num_edges
+
+        _, counts = jax.lax.scan(
+            body, pair, (jnp.asarray(adds), jnp.asarray(dels))
+        )
+        return counts[-1]
+
+    t0 = time.perf_counter()
+    v = int(run_lazy_updates(lazy0))
+    print(f"lazy tombstone+log       : compile+run1 "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+    rtt = readback_rtt()
+    t0 = time.perf_counter()
+    v = int(run_lazy_updates(lazy0))
+    dt_lazy = (time.perf_counter() - t0 - rtt) / t_steps
+    print(
+        f"lazy tombstone+log       : {dt_lazy*1e3:.2f} ms/timestep "
+        f"({2*d/max(dt_lazy,1e-9)/1e3:.0f}k updates/s, final edges={v})",
+        flush=True,
+    )
+
     # Full dynamic STEP at wiki-talk scale: delta replay on the dual PMA
     # stores + row-id-kernel aggregation (ops/dyn_spmm), forward and
     # forward+backward — the "dynamic graph at kernel speed" capability

@@ -226,17 +226,26 @@ def apply_delta_lazy(
     )
 
     # --- deletions --------------------------------------------------------
-    # 1. kill matching LIVE tail entries in place (sorted lookup over the
-    #    tail; killed/hole entries carry sentinel keys so they never match).
-    to = _lexsort_rc(store.tail_rows, store.tail_cols)
-    t_found, t_cand = _sorted_lookup(
-        store.tail_rows[to], store.tail_cols[to], del_rows, del_cols, n
+    # 1. kill matching LIVE tail entries in place. Direction matters for
+    #    cost: sorting the TAIL every step is an O(tcap log tcap) device
+    #    sort; instead sort the (small) delete batch once and bisect every
+    #    tail entry into it — O(d log d) + log(d) vector passes over tcap.
+    qo = _lexsort_rc(del_rows, del_cols)
+    sq_r, sq_c = del_rows[qo], del_cols[qo]
+    hit_sorted_q, t_cand = _sorted_lookup(
+        sq_r, sq_c, store.tail_rows, store.tail_cols, n
     )
-    t_idx = to[t_cand]
-    kill = jnp.where(t_found, t_idx, t)
-    tail_rows = store.tail_rows.at[kill].set(n, mode="drop")
-    tail_cols = store.tail_cols.at[kill].set(n, mode="drop")
-    tail_w = store.tail_w.at[kill].set(0.0, mode="drop")
+    kill_mask = hit_sorted_q  # per tail entry: a delete names it
+    tail_rows = jnp.where(kill_mask, n, store.tail_rows)
+    tail_cols = jnp.where(kill_mask, n, store.tail_cols)
+    tail_w = jnp.where(kill_mask, 0.0, store.tail_w)
+    # Which deletes were satisfied by a tail kill (per original slot).
+    found_sorted = (
+        jnp.zeros((d_del,), jnp.bool_)
+        .at[jnp.where(kill_mask, t_cand, d_del)]
+        .max(True, mode="drop")
+    )
+    t_found = jnp.zeros((d_del,), jnp.bool_).at[qo].set(found_sorted)
 
     # 2. remaining deletions tombstone MAIN (w = 0) and go on the pending
     #    log for the next compaction.
