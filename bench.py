@@ -348,10 +348,14 @@ def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=40, f=128):
     cols0 = (keys % nodes).astype(np.int32)
     adds = np.full((steps, slide, 2), nodes, np.int32)
     dels = np.full((steps, slide, 2), nodes, np.int32)
+    # Both batches use (src, dst) column order — the pair API's argument
+    # order. The pair below is built with src=cols0, dst=rows0, so deletes
+    # must name (cols0, rows0) keys to actually hit (advisor round 4: the
+    # reversed order made every delete a silent no-op).
     for t in range(steps):
         sel = rng.choice(e0, slide, replace=False)
-        dels[t, :, 0] = rows0[sel]
-        dels[t, :, 1] = cols0[sel]
+        dels[t, :, 0] = cols0[sel]
+        dels[t, :, 1] = rows0[sel]
         adds[t, :, 0] = rng.integers(0, nodes, slide)
         adds[t, :, 1] = rng.integers(0, nodes, slide)
     pair0 = lazy_pair_from_edges(

@@ -204,12 +204,16 @@ def main() -> None:
         cols0[:e0], rows0[:e0], n, capacity=cap, tail_capacity=16 * d
     )
 
+    # Delta batches store (row=dst, col=src); the pair APIs take
+    # (src, dst), so operands are swapped: dl[:, 1] is the source key.
+    # (Advisor round 4: passing dl[:, 0] as del_src made every delete a
+    # silent no-op — the timing replayed a delete-never-hits workload.)
     @jax.jit
     def run_lazy_updates(pair):
         def body(pair, xs):
             a, dl = xs
             pair = apply_delta_lazy_pair(
-                pair, a[:, 0], a[:, 1], dl[:, 0], dl[:, 1]
+                pair, a[:, 1], a[:, 0], dl[:, 1], dl[:, 0]
             )
             return pair, pair.fwd.num_edges
 
@@ -254,8 +258,9 @@ def main() -> None:
     def run_dyn_fwd(pair, feats):
         def body(pair, xs):
             a, dl = xs
+            # Same (src, dst) argument order as the lazy pair above.
             pair = apply_delta_pair(
-                pair, a[:, 0], a[:, 1], dl[:, 0], dl[:, 1]
+                pair, a[:, 1], a[:, 0], dl[:, 1], dl[:, 0]
             )
             out = pma_spmm(pair, feats)
             return pair, jnp.sum(out, dtype=jnp.float32)

@@ -209,12 +209,30 @@ def apply_delta_lazy(
 ) -> LazyStore:
     """O(delta) update. Same contract as ``delta_graph.apply_delta``:
     sentinel-padded batches; deletions name existing edges; an addition
-    is new or paired with a same-key deletion (weight update)."""
+    is new or paired with a same-key deletion (weight update).
+
+    ``add_weights`` must be strictly positive: ``w == 0`` is the
+    tombstone/liveness convention (a zero-weight add is indistinguishable
+    from a dead slot and is silently dropped from degree counts and
+    ``num_edges``). Batch sizes must not exceed ``tail_capacity``
+    (checked at trace time — shapes are static)."""
     n = store.num_nodes
     cap = store.capacity
     t = store.tail_capacity
     d_del = del_rows.shape[0]
     d_add = add_rows.shape[0]
+    if d_del > t or d_add > t:
+        raise ValueError(
+            f"delta batch ({d_add} adds / {d_del} dels) exceeds "
+            f"tail_capacity={t}; the logs cannot hold one batch"
+        )
+    # Amortized compaction FIRST, gated on this step's actual batch
+    # sizes: if either log cannot absorb the incoming batch, merge both
+    # logs into main now. Running the cond before any append makes the
+    # overflow guard exact (appending first and checking a proxy could
+    # silently truncate a first oversized batch — advisor round 4).
+    need = (store.tail_count + d_add > t) | (store.pd_count + d_del > t)
+    store = jax.lax.cond(need, compact, lambda s: s, store)
     del_rows = del_rows.astype(jnp.int32)
     del_cols = del_cols.astype(jnp.int32)
     add_rows = add_rows.astype(jnp.int32)
@@ -278,10 +296,6 @@ def apply_delta_lazy(
         num_edges=store.num_edges - n_del_live,
         num_nodes=n, weighted=store.weighted,
     )
-
-    # --- amortized compaction --------------------------------------------
-    need = (mid.tail_count + d_add > t) | (mid.pd_count + d_del > t)
-    mid = jax.lax.cond(need, compact, lambda s: s, mid)
 
     # --- additions: append the batch to the tail -------------------------
     tail_rows = jax.lax.dynamic_update_slice(

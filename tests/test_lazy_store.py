@@ -230,3 +230,36 @@ def test_weight_update_via_del_add(rng):
 
     out = np.asarray(_lazy_one_side(store, jnp.asarray(x), N, False))
     assert out[1, 0] == pytest.approx(5.0)  # new weight in effect
+
+
+def test_oversized_batch_raises(rng):
+    """Batches larger than tail_capacity must fail loudly at trace time
+    (advisor round 4: silent truncation of pending deletes)."""
+    src, dst = _random_graph(rng)
+    store = lazy_from_edges(src, dst, N, CAP, TCAP)
+    big = jnp.full((TCAP + 1,), N, jnp.int32)
+    small = jnp.full((1,), N, jnp.int32)
+    with pytest.raises(ValueError, match="tail_capacity"):
+        apply_delta_lazy(store, big, big, small, small)
+    with pytest.raises(ValueError, match="tail_capacity"):
+        apply_delta_lazy(store, small, small, big, big)
+
+
+def test_pair_deletes_actually_hit(rng):
+    """Deletes through the PAIR API must reduce num_edges on BOTH stores —
+    the round-4 advisor found a bench passing reversed (dst, src) keys so
+    every delete silently missed; this pins the src/dst argument order."""
+    src, dst = _random_graph(rng, e=64)
+    pair = lazy_pair_from_edges(src, dst, N, CAP, TCAP)
+    k = 8
+    del_src = jnp.asarray(src[:k], jnp.int32)
+    del_dst = jnp.asarray(dst[:k], jnp.int32)
+    empty = jnp.full((k,), N, jnp.int32)
+    out = apply_delta_lazy_pair(pair, empty, empty, del_src, del_dst)
+    assert int(out.fwd.num_edges) == 64 - k
+    assert int(out.bwd.num_edges) == 64 - k
+    # Reversed keys (the bug shape) must NOT hit on a graph whose reverse
+    # edges are absent — num_edges stays put, proving order sensitivity.
+    rev = apply_delta_lazy_pair(pair, empty, empty, del_dst, del_src)
+    fwd_hits = 64 - int(rev.fwd.num_edges)
+    assert fwd_hits <= 2  # only accidental symmetric edges may hit
