@@ -105,7 +105,7 @@ def main() -> None:
     ap.add_argument("--dataset", default="england_covid")
     ap.add_argument(
         "--type", default="naive",
-        choices=["naive", "delta", "delta-scan", "pma-scan"],
+        choices=["naive", "delta", "delta-scan", "pma-scan", "lazy-scan"],
     )
     ap.add_argument("--num_epochs", type=int, default=5)
     ap.add_argument("--num_hidden", type=int, default=32)
@@ -148,7 +148,7 @@ def main() -> None:
         G = NaiveGraph(edge_lists, weight_lists)
     else:
         G = DeltaGraph(edge_lists, weight_lists)
-    scan_types = ("delta-scan", "pma-scan")
+    scan_types = ("delta-scan", "pma-scan", "lazy-scan")
     build_time = time.perf_counter() - t0
     n = G.get_num_nodes()
     t_total = len(d.get_all_features())
@@ -187,6 +187,29 @@ def main() -> None:
             init_pma = pma_pair_from_edges(
                 cols0[live], rows0[live], G.get_num_nodes(),
                 num_chunks=C, chunk_size=S,
+                weights=None if w0 is None else w0[live],
+            )
+        elif args.type == "lazy-scan":
+            # Lazy tombstone+tail-log layout: O(delta) per-step updates
+            # with cond-amortized compaction (graph/lazy_store.py),
+            # maintained in both edge orders for fwd/bwd kernel
+            # aggregation — the flagship DTDG update path.
+            from stgraph_tpu.ops.dyn_spmm import lazy_pair_from_edges
+
+            rows0 = np.asarray(init_store.rows)
+            cols0 = np.asarray(init_store.cols)
+            w0 = (
+                None
+                if init_store.weights is None
+                else np.asarray(init_store.weights)
+            )
+            live = rows0 < G.get_num_nodes()
+            d_batch = int(staged_add.shape[1])
+            tcap = max(8 * d_batch, 128)
+            init_lazy = lazy_pair_from_edges(
+                cols0[live], rows0[live], G.get_num_nodes(),
+                capacity=G._capacity + tcap,
+                tail_capacity=tcap,
                 weights=None if w0 is None else w0[live],
             )
         stacked = None
@@ -241,10 +264,52 @@ def main() -> None:
         )
         return hidden, key, loss
 
+    def flat_link_loss(hidden, key, rows_f, cols_f, mask):
+        """Link-prediction BCE over a flat sentinel-padded edge view."""
+        key, k1, k2 = jax.random.split(key, 3)
+        pos = decode(
+            hidden, jnp.minimum(cols_f, n - 1), jnp.minimum(rows_f, n - 1)
+        )
+        neg_s = jax.random.randint(k1, cols_f.shape, 0, n)
+        neg_d = jax.random.randint(k2, cols_f.shape, 0, n)
+        neg = decode(hidden, neg_s, neg_d)
+        pos_l = optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos))
+        neg_l = optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg))
+        loss = jnp.sum(jnp.where(mask, pos_l + neg_l, 0.0)) / jnp.maximum(
+            mask.sum(), 1
+        )
+        return key, loss
+
     @jax.jit
     def epoch_step(params, opt_state, key):
         def loss_fn(params):
-            if args.type == "pma-scan":
+            if args.type == "lazy-scan":
+                from stgraph_tpu.ops.dyn_spmm import apply_delta_lazy_pair
+
+                def body(carry, xs):
+                    hidden, key, pair = carry
+                    add, dele, add_w, x_t = xs
+                    pair = apply_delta_lazy_pair(
+                        pair,
+                        add[:, 0], add[:, 1],
+                        dele[:, 0], dele[:, 1],
+                        add_weights=add_w,
+                    )
+                    hidden = model.apply(params, pair, x_t, hidden=hidden)
+                    # Positive edges: the fwd store's main slots (w > 0 ==
+                    # live) plus the tail log — static shapes throughout.
+                    st = pair.fwd
+                    rows_f = jnp.concatenate([st.rows, st.tail_rows])
+                    cols_f = jnp.concatenate([st.cols, st.tail_cols])
+                    mask = jnp.concatenate([st.w, st.tail_w]) > 0
+                    key, loss = flat_link_loss(
+                        hidden, key, rows_f, cols_f, mask
+                    )
+                    return (hidden, key, pair), loss
+
+                init = (jnp.zeros((n, args.num_hidden)), key, init_lazy)
+                xs = (staged_add, staged_del, staged_add_w, feats)
+            elif args.type == "pma-scan":
                 from stgraph_tpu.ops.dyn_spmm import apply_delta_pair
 
                 def body(carry, xs):

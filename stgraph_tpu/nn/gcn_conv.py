@@ -51,26 +51,36 @@ class GCNConv(fnn.Module):
             (self.in_feats, self.out_feats),
             jnp.float32 if self.dtype is not None else h.dtype,
         )
-        from stgraph_tpu.ops.dyn_spmm import PMAGraphPair
+        from stgraph_tpu.ops.dyn_spmm import LazyPair, PMAGraphPair
 
-        if isinstance(graph, PMAGraphPair):
+        if isinstance(graph, (PMAGraphPair, LazyPair)):
             # Traced dynamic-store path (in-scan structure mutation): the
-            # row-id-masked kernel aggregates directly from the PMA layout;
-            # per-step norms come from the scatter-free degree kernel. Edge
-            # weights ride the store itself (``pma_spmm`` applies them), so
-            # the argument is rejected to avoid double application.
+            # row-id-masked kernel aggregates directly from the PMA or lazy
+            # (tombstone+tail-log) layout; per-step norms come from the
+            # scatter-free degree kernel. Edge weights ride the store
+            # itself (``pma_spmm``/``lazy_spmm`` apply them), so the
+            # argument is rejected to avoid double application.
             if edge_weight is not None:
                 raise ValueError(
-                    "PMAGraphPair carries edge weights in the store; "
-                    "pass them at pma_pair_from_edges/apply_delta_pair time"
+                    "dynamic graph pairs carry edge weights in the store; "
+                    "pass them at *_pair_from_edges/apply_delta_*_pair time"
                 )
-            from stgraph_tpu.ops.dyn_spmm import pma_norm, pma_spmm
+            if isinstance(graph, PMAGraphPair):
+                from stgraph_tpu.ops.dyn_spmm import (
+                    pma_norm as _pair_norm,
+                    pma_spmm as _pair_spmm,
+                )
+            else:
+                from stgraph_tpu.ops.dyn_spmm import (
+                    lazy_norm as _pair_norm,
+                    lazy_spmm as _pair_spmm,
+                )
 
-            norm = pma_norm(graph)
+            norm = _pair_norm(graph)
             h = jnp.dot(
                 h, weight, preferred_element_type=jnp.float32
             ).astype(h.dtype)
-            h = pma_spmm(graph, h * norm) * norm
+            h = _pair_spmm(graph, h * norm) * norm
             if self.use_bias:
                 bias = self.param(
                     "bias", fnn.initializers.zeros_init(),

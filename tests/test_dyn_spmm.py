@@ -259,3 +259,41 @@ def test_pair_delta_replay_in_scan_matches_snapshots():
             np.asarray(outs[t]), ref, rtol=2e-5, atol=2e-5,
             err_msg=f"t={t}",
         )
+
+
+def test_gcnconv_lazy_pair_matches_static_csr():
+    """GCNConv over a LazyPair == GCNConv over the equivalent static graph
+    (same params), including gradients — the lazy-scan DTDG driver path."""
+    from stgraph_tpu import StaticGraph
+    from stgraph_tpu.nn import GCNConv
+    from stgraph_tpu.ops.dyn_spmm import lazy_pair_from_edges
+
+    rng = np.random.default_rng(7)
+    n = 200
+    src, dst, w = _rand_graph(rng, n=n, e=1600, weighted=True)
+    w = np.abs(w) + 0.1  # lazy stores require strictly positive weights
+    pair = lazy_pair_from_edges(
+        src, dst, n, capacity=2048, tail_capacity=128, weights=w
+    )
+    g = StaticGraph(np.stack([src, dst], 1), w, n)
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+    conv = GCNConv(12, 8)
+    params = conv.init(jax.random.key(0), g, x, edge_weight=jnp.asarray(w))
+
+    out_static = conv.apply(params, g, x, edge_weight=jnp.asarray(w))
+    out_pair = conv.apply(params, pair, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pair), np.asarray(out_static), rtol=2e-4, atol=2e-4
+    )
+
+    g_static = jax.grad(
+        lambda xx: jnp.sum(
+            conv.apply(params, g, xx, edge_weight=jnp.asarray(w)) ** 2
+        )
+    )(x)
+    g_pair = jax.grad(
+        lambda xx: jnp.sum(conv.apply(params, pair, xx) ** 2)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_pair), np.asarray(g_static), rtol=2e-3, atol=2e-3
+    )
