@@ -1,12 +1,15 @@
 """Benchmark driver: one JSON line per metric, headline first.
 
-Headline: edges/s/chip on 2-layer GCN forward+backward (the BASELINE.json
-north-star metric) on a Cora-scale graph, measured on the default JAX
-backend (real TPU under the driver). The following JSON records carry the
-device-bound numbers as first-class metrics: TGCN epoch, 2M-edge SpMM and
-GAT (with ``fraction_of_hbm_peak`` against the chip's measured practical
-627 GB/s, docs/PERF.md calibration), and the full-scale ogbn-products SpMM
-with locality reordering.
+Headline (round 5): the full-scale ogbn-products 3-layer GCN TRAINING
+step in mp-edges/s/chip — a device-bound number at 123.7M edges. The
+Cora 2-layer GCN line (the BASELINE.json north-star metric) follows as a
+continuity metric, explicitly labeled ``dispatch_bound``: at 10.5k edges
+and ~100 us/step it measures launch amortization, not device throughput.
+Further records: TGCN epoch, 2M-edge SpMM and GAT (with
+``fraction_of_hbm_peak`` against the chip's measured practical 627 GB/s,
+docs/PERF.md calibration), the full-scale ogbn SpMM, and the dynamic
+lazy-store metrics split into step / aggregation-only / update-only with
+the same-shape static-SpMM rate alongside.
 
 ``vs_baseline`` is 1.0: the reference repository publishes no concrete
 numbers (BASELINE.md §"Published numbers" — ``"published": {}``), so there
@@ -391,6 +394,19 @@ def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=40, f=128):
         _, counts = jax.lax.scan(body, pair, (a, dl))
         return counts[-1]
 
+    @jax.jit
+    def run_agg(pair, feats):
+        # Aggregation ALONE (fixed structure): the carry-dependent input
+        # scale stops XLA hoisting the loop-invariant spmm out of the scan.
+        def body(c, _):
+            out = lazy_spmm(pair, feats * c)
+            return 1.0 + 0.0 * jnp.sum(out, dtype=jnp.float32), ()
+
+        c, _ = jax.lax.scan(
+            body, jnp.float32(1.0), None, length=steps
+        )
+        return c
+
     _drain(run_step(pair0, feats, adds_j, dels_j))
     t0 = time.perf_counter()
     _drain(run_step(pair0, feats, adds_j, dels_j))
@@ -401,11 +417,44 @@ def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=40, f=128):
     _drain(run_updates(pair0, adds_j, dels_j))
     dt_upd = max(time.perf_counter() - t0 - _rtt(), 1e-9) / steps
 
+    _drain(run_agg(pair0, feats))
+    t0 = time.perf_counter()
+    _drain(run_agg(pair0, feats))
+    dt_agg = max(time.perf_counter() - t0 - _rtt(), 1e-9) / steps
+
+    # Same-shape STATIC SpMM (N=1.1M table, 1.92M edges): the denominator
+    # of the standing "dynamic aggregation within 2-3x of static" check.
+    from stgraph_tpu.graph.csr import build_csr
+    from stgraph_tpu.ops import spmm_pallas
+
+    csr = build_csr(cols0, rows0, nodes)
+    csr_t = csr.transpose()
+
+    @jax.jit
+    def run_static(feats):
+        def body(c, _):
+            out = spmm_pallas.spmm(csr, feats * c, csr_t=csr_t)
+            return 1.0 + 0.0 * jnp.sum(out, dtype=jnp.float32), ()
+
+        c, _ = jax.lax.scan(
+            body, jnp.float32(1.0), None, length=steps
+        )
+        return c
+
+    _drain(run_static(feats))
+    t0 = time.perf_counter()
+    _drain(run_static(feats))
+    dt_static = max(time.perf_counter() - t0 - _rtt(), 1e-9) / steps
+
     return {
         "dyn_step_s": dt_step,
         "dyn_spmm_edges_per_s": e0 / dt_step,
         "dyn_update_s": dt_upd,
         "dyn_updates_per_s": 2 * slide / dt_upd,
+        "dyn_agg_s": dt_agg,
+        "dyn_agg_edges_per_s": e0 / dt_agg,
+        "static_same_shape_s": dt_static,
+        "static_same_shape_edges_per_s": e0 / dt_static,
         "dyn_num_edges": e0,
     }
 
@@ -510,16 +559,34 @@ def main():
     except Exception:
         pass
 
+    # HEADLINE: the full-scale ogbn-products 3-layer GCN TRAINING step —
+    # the honest device-bound flagship (round-4 verdict: the Cora metric
+    # measures dispatch amortization at 10k edges; it stays below as a
+    # clearly-labeled continuity line). Synthetic data is disk-cached, so
+    # the dominant cost is one large compile.
+    if not args.quick:
+        try:
+            os_ = bench_ogbn_step(scale=args.ogbn_scale)
+            emit(
+                "ogbn_gcn_step_edges_per_s", os_["ogbn_step_edges_per_s"],
+                "mp-edges/s/chip",
+                ogbn_step_s=os_["ogbn_step_s"],
+                num_edges=os_["ogbn_num_edges"],
+                synthetic=os_["synthetic"],
+                reordered=False,
+            )
+        except Exception as exc:
+            print(f"ogbn step bench failed: {exc}", file=sys.stderr)
+
     gcn = bench_gcn_fwd_bwd()
-    # Print the headline line FIRST: the secondary benches each pay a
-    # multi-minute Mosaic kernel compile on remote TPUs, and the headline
-    # must survive an external timeout.
     emit(
         "gcn_fwd_bwd_edges_per_s",
         gcn["edges_per_s"],
         "edges/s/chip",
         epoch_s=gcn["epoch_s"],
         num_edges=gcn["num_edges"],
+        dispatch_bound=True,  # 10.5k edges at ~100 us: measures launch
+        # amortization, not device throughput — see the ogbn headline.
     )
 
     if args.quick:
@@ -579,24 +646,26 @@ def main():
     except Exception as exc:
         print(f"ogbn bench failed: {exc}", file=sys.stderr)
     try:
-        os_ = bench_ogbn_step(scale=args.ogbn_scale)
-        emit(
-            "ogbn_gcn_step_edges_per_s", os_["ogbn_step_edges_per_s"],
-            "mp-edges/s/chip",
-            ogbn_step_s=os_["ogbn_step_s"],
-            num_edges=os_["ogbn_num_edges"],
-            synthetic=os_["synthetic"],
-            reordered=False,
-        )
-    except Exception as exc:
-        print(f"ogbn step bench failed: {exc}", file=sys.stderr)
-    try:
         dy = bench_dyn()
         emit(
             "dyn_spmm_edges_per_s", dy["dyn_spmm_edges_per_s"],
             "edges/s/chip",
             dyn_step_s=dy["dyn_step_s"],
             num_edges=dy["dyn_num_edges"],
+            includes_update=True,  # update + aggregation per scan step
+        )
+        emit(
+            "dyn_agg_edges_per_s", dy["dyn_agg_edges_per_s"],
+            "edges/s/chip",
+            dyn_agg_s=dy["dyn_agg_s"],
+            static_same_shape_edges_per_s=round(
+                dy["static_same_shape_edges_per_s"], 1
+            ),
+            ratio_vs_static=round(
+                dy["static_same_shape_edges_per_s"]
+                / dy["dyn_agg_edges_per_s"],
+                2,
+            ),
         )
         emit(
             "dyn_updates_per_s", dy["dyn_updates_per_s"],

@@ -88,16 +88,19 @@ def main() -> None:
         flush=True,
     )
 
-    def sp(h):
-        return spmm_pallas.spmm(csr, h, csr_t=csr_t, src_ids=sids, src_ids_t=sids_t)
+    # Per-edge id arrays are jit ARGUMENTS everywhere below: closing over
+    # a device array embeds it as an MLIR constant whose lowering pulls the
+    # value device->host — pathological over this tunnel (docs/PERF.md).
+    def sp(h, si, st):
+        return spmm_pallas.spmm(csr, h, csr_t=csr_t, src_ids=si, src_ids_t=st)
 
     def make_loss(use_spmm: bool):
-        def loss(p, xx, yy):
+        def loss(p, xx, yy, si, st):
             h = xx
             for i in range(3):
                 h = (h @ p[f"w{i}"]) * norm
                 if use_spmm:
-                    h = sp(h) * norm
+                    h = sp(h, si, st) * norm
                 else:
                     h = h * norm
                 if i < 2:
@@ -111,8 +114,8 @@ def main() -> None:
     def make_step(use_spmm: bool):
         loss = make_loss(use_spmm)
 
-        def step(p, xx, yy):
-            return jax.value_and_grad(loss)(p, xx, yy)
+        def step(p, xx, yy, si, st):
+            return jax.value_and_grad(loss)(p, xx, yy, si, st)
 
         return step
 
@@ -140,42 +143,46 @@ def main() -> None:
             flush=True,
         )
 
-    run("step", make_step(True), params, xd, yd, burst=1)
-    run("fwd_loss", make_loss(True), params, xd, yd, burst=2)
-    run("dense_step", make_step(False), params, xd, yd, burst=3)
+    run("step", make_step(True), params, xd, yd, sids, sids_t, burst=1)
+    run("fwd_loss", make_loss(True), params, xd, yd, sids, sids_t, burst=2)
+    run("dense_step", make_step(False), params, xd, yd, sids, sids_t,
+        burst=3)
     # fb probes square the output so the backward cotangent is a real
     # array (grad of a plain sum is a broadcast constant XLA folds into
     # nothing — the bwd SpMM of ones degenerates to a degree count).
-    run("spmm128_fwd", lambda h: jnp.sum(sp(h), dtype=jnp.float32), h128,
-        burst=3)
+    run("spmm128_fwd",
+        lambda h, si, st: jnp.sum(sp(h, si, st), dtype=jnp.float32),
+        h128, sids, sids_t, burst=3)
     run(
         "spmm128_fb",
-        lambda h: jax.value_and_grad(
-            lambda hh: jnp.sum(sp(hh) ** 2, dtype=jnp.float32)
+        lambda h, si, st: jax.value_and_grad(
+            lambda hh: jnp.sum(sp(hh, si, st) ** 2, dtype=jnp.float32)
         )(h)[0],
-        h128, burst=2,
+        h128, sids, sids_t, burst=2,
     )
-    run("spmm47_fwd", lambda h: jnp.sum(sp(h), dtype=jnp.float32), h47,
-        burst=3)
+    run("spmm47_fwd",
+        lambda h, si, st: jnp.sum(sp(h, si, st), dtype=jnp.float32),
+        h47, sids, sids_t, burst=3)
     run(
         "spmm47_fb",
-        lambda h: jax.value_and_grad(
-            lambda hh: jnp.sum(sp(hh) ** 2, dtype=jnp.float32)
+        lambda h, si, st: jax.value_and_grad(
+            lambda hh: jnp.sum(sp(hh, si, st) ** 2, dtype=jnp.float32)
         )(h)[0],
-        h47, burst=2,
+        h47, sids, sids_t, burst=2,
     )
 
-    def layer3(p, h, yy):
+    def layer3(p, h, yy, si, st):
         def loss_fn(p):
             z = (h @ p["w2"]) * norm
-            z = sp(z) * norm
+            z = sp(z, si, st) * norm
             return optax.softmax_cross_entropy_with_integer_labels(
                 z, yy
             ).mean()
 
         return jax.value_and_grad(loss_fn)(p)
 
-    run("layer3_fb", layer3, params, h128, yd, burst=2)
+    run("layer3_fb", layer3, params, h128, yd, sids, sids_t,
+        burst=2)
 
     print(json.dumps({k: round(v, 4) for k, v in results.items()}), flush=True)
 

@@ -65,13 +65,18 @@ def halo_stats(src, dst, num_nodes: int, p: int):
     row = pair % (num_nodes + 1)
     d = (recv - row // ns) % p
     k_by_d = np.bincount(d, minlength=p)[1:]  # displacement 1..p-1
-    halo_rows_per_shard = pair.shape[0] / p  # avg distinct remote rows
+    # Per-shard distinct remote rows (the rows each RECEIVER must pull):
+    # the efficiency model charges every shard ITS OWN volume, not the
+    # average (round-4 verdict: contiguous dst ranges need not receive
+    # evenly).
+    halo_rows_each = np.bincount(recv, minlength=p)
     return {
         "edges_per_shard": edges_per_shard.tolist(),
         "interior_per_shard": interior.tolist(),
         "frontier_per_shard": frontier.tolist(),
         "k_by_displacement_total": k_by_d.tolist(),
-        "avg_halo_rows_per_shard": float(halo_rows_per_shard),
+        "halo_rows_per_shard": halo_rows_each.tolist(),
+        "avg_halo_rows_per_shard": float(pair.shape[0] / p),
     }
 
 
@@ -84,9 +89,9 @@ def efficiency(stats, e_total: int, feat: int, rate_edges_s: float,
     for pp in range(p):
         t_int = stats["interior_per_shard"][pp] * per_edge
         t_fro = stats["frontier_per_shard"][pp] * per_edge
-        # Shard pp receives its share of each displacement's rows; use the
-        # average (destination ranges are contiguous, row need is spread).
-        comm_bytes = stats["avg_halo_rows_per_shard"] * feat * 4
+        # Each shard is charged ITS OWN received-halo volume (per-shard
+        # maxima fall out of the max over pp below).
+        comm_bytes = stats["halo_rows_per_shard"][pp] * feat * 4
         t_comm = comm_bytes / ici_bytes_s
         worst = max(worst, max(t_int, t_comm) + t_fro)
     return t1 / (p * worst), worst, t1
@@ -105,9 +110,10 @@ def main() -> None:
         "bidirectional ring uses ~half",
     )
     ap.add_argument(
-        "--rate-full", type=float, default=85e6,
+        "--rate-full", type=float, default=178e6,
         help="measured single-chip SpMM rate at the FULL 2.4M-row table "
-        "(docs/PERF.md ogbn section, base order)",
+        "(docs/PERF.md: post gather-cliff fix, BOTH directions, base "
+        "order — round-4's 85e6 default predated the fix)",
     )
     ap.add_argument(
         "--rate-small", type=float, default=515e6,
@@ -142,16 +148,31 @@ def main() -> None:
         eff_s, tp_s, t1_s = efficiency(
             st, e, args.feat, args.rate_small, args.ici_gbps * 1e9, p
         )
+        # ICI sensitivity: the projection must survive a pessimistic link
+        # budget (half) and show the optimistic one (double).
+        ici_sweep = {
+            f"{g:g}GBps": round(
+                float(
+                    efficiency(
+                        st, e, args.feat, args.rate_full, g * 1e9, p
+                    )[0]
+                ),
+                3,
+            )
+            for g in (args.ici_gbps / 2, args.ici_gbps, args.ici_gbps * 2)
+        }
         row = {
             "shards": p,
             "edge_balance_max_over_mean": round(float(bal), 4),
+            "max_halo_rows_per_shard": int(max(st["halo_rows_per_shard"])),
             "avg_halo_rows_per_shard": int(st["avg_halo_rows_per_shard"]),
-            "halo_bytes_per_shard_f32": int(
-                st["avg_halo_rows_per_shard"] * args.feat * 4
+            "max_halo_bytes_per_shard_f32": int(
+                max(st["halo_rows_per_shard"]) * args.feat * 4
             ),
             "k_by_displacement": st["k_by_displacement_total"],
             "proj_efficiency_at_full_table_rate": round(float(eff_f), 3),
             "proj_efficiency_at_small_table_rate": round(float(eff_s), 3),
+            "proj_efficiency_ici_sensitivity_full_rate": ici_sweep,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)

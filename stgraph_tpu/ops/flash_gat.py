@@ -20,18 +20,27 @@ transaction; docs/PERF.md). This module removes all of them:
     ROW-BLOCK inputs recovered per edge with a one-hot mask matmul. The
     min-0 clamp is exact for real edges (m is the exact max) and bounds
     the exp of out-of-block garbage positions the row masks discard.
-  * **Backward is two symmetric passes with no RMW and no permutations.**
+  * **Backward is ONE pass (round 5): der comes from the forward.**
     The softmax VJP needs four reductions: d feat (by src), dl (by src),
     der (by dst), and the per-edge SDDMM ``dw = <fs[src], gu[dst]>``.
-    Pass A runs on the forward CSR (rows = dst): it re-reads the saved
-    forward plane, recomputes w, forms ``gu`` per edge from the row block
-    (mask matmul), computes dw + ds0 in registers, and aggregates ``der``
-    directly. Pass B runs on the transpose CSR (rows = src) over a fresh
-    gather plane ``[gu | er | m | c]`` (hi/lo pairs), recomputes w the
-    same way (el now comes from the row block), and aggregates ``d feat``
-    and ``dl``. Neither pass writes any per-edge tensor to HBM, so the
-    previous design's read-modify-write dw plane and both (E, 8)
-    permutation gathers disappear.
+    The destination-grouped one distributes through the dot product::
+
+        der[d] = Σ_e w·lp·(q·dw − c[d])
+               = <gu[d], Σ_e w·lp·q·fs[src]> − c[d]·Σ_e w·lp
+               = <gu[d], u[d]> − c[d]·p[d]
+
+    and ``u``/``p`` are plain weighted aggregations the FORWARD kernel
+    accumulates for free (a second accumulator matmul per chunk + two
+    extra denominator lanes) while it already has w and lp in registers.
+    Backward therefore runs a single pass B on the transpose CSR
+    (rows = src) over a fresh gather plane ``[gu | er | m | c]`` (hi/lo
+    pairs), recomputes w the same way (el now comes from the row
+    block), and aggregates ``d feat`` and ``dl``; ``der`` is node-table
+    glue. The round-4 design's pass A — a full (E, f+128) saved-plane
+    re-read, ~23% of fwd+bwd time — is gone, and with it the saved
+    forward-plane residual. No pass writes any per-edge tensor to HBM,
+    so there is no read-modify-write dw plane and no (E, 8) permutation
+    gathers either.
 
 Reference counterpart: the fully fused generated GAT kernels
 (``stgraph/compiler/code_gen/templates/fa/tpl_fa_csr.jinja:28-45``) plus
@@ -180,7 +189,8 @@ def _flash_fwd_kernel(
     be_ref,
     side_ref,  # (ROW_BLOCK, 2h) f32: [er | m]
     plane_ref,  # (CAP_pad, f_flat + 128) HBM
-    *refs,  # [q_ref], out_ref, den_ref, slab, acc, den_acc, sem, [q_scr, q_sem]
+    *refs,  # [q_ref], out_ref, den_ref, [u_ref], slab, acc, den_acc,
+    #         [u_acc], sem, [q_scr, q_sem]
     h: int,
     f: int,
     f_flat: int,
@@ -188,11 +198,24 @@ def _flash_fwd_kernel(
     slope: float,
     ch: int,
     dropped: bool = False,
+    bwd_aux: bool = False,
 ):
+    """Forward flash kernel. With ``bwd_aux`` it additionally emits the
+    der-precursor aggregations ``u[d] = Σ w·lp·q·fs[src]`` (third output,
+    f_flat lanes) and ``p[d] = Σ w·lp`` (den lanes [h, 2h)) — see module
+    docstring: these make backward pass A unnecessary. The output is
+    normalized in-kernel (each row block owns ALL its CSR row's edges, so
+    ``den_acc`` is the complete softmax denominator at loop exit)."""
     refs = list(refs)
     q_ref = refs.pop(0) if dropped else None
-    out_ref, den_ref, slab, acc, den_acc, sem = refs[:6]
-    q_scr, q_sem = (refs[6], refs[7]) if dropped else (None, None)
+    if bwd_aux:
+        out_ref, den_ref, u_ref, slab, acc, den_acc, u_acc, sem = refs[:8]
+        rest = refs[8:]
+    else:
+        out_ref, den_ref, slab, acc, den_acc, sem = refs[:6]
+        u_ref = u_acc = None
+        rest = refs[6:]
+    q_scr, q_sem = (rest[0], rest[1]) if dropped else (None, None)
     rb = pl.program_id(0)
     a0 = astart_ref[rb]
     nck = nchunks_ref[rb]
@@ -228,6 +251,8 @@ def _flash_fwd_kernel(
 
     acc[...] = jnp.zeros_like(acc)
     den_acc[...] = jnp.zeros_like(den_acc)
+    if bwd_aux:
+        u_acc[...] = jnp.zeros_like(u_acc)
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (ch, ROW_BLOCK), 0)
     spreads = _spreads(h, f, n_ft)
 
@@ -255,21 +280,29 @@ def _flash_fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (CHUNK, 2h): one-hot columns -> exact per-edge er/m
-        s = el + erm[:, :h]
-        s = jnp.where(s >= 0, s, slope * s)
+        s0 = el + erm[:, :h]
+        s = jnp.where(s0 >= 0, s0, slope * s0)
         # Exact for real edges (m is the exact segment max, so s - m <= 0);
         # bounds garbage positions (mask 0) so no inf reaches the matmul.
         w = jnp.exp(jnp.minimum(s - erm[:, h:], 0.0))  # (CHUNK, h) f32
+        qt = _q_transpose(q_scr[slot], h, ch) if dropped else None
         # Denominator uses the UNdropped weights (DGL semantics: dropout on
         # the normalized coefficients); the numerator uses q-scaled ones.
-        den_acc[:, :h] += jax.lax.dot_general(
-            m32,
-            w,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        wq = w * _q_transpose(q_scr[slot], h, ch) if dropped else w
+        # With bwd_aux the same dot also accumulates p = Σ w·lp (lanes
+        # [h, 2h)) — the leaky-slope-weighted denominator der needs.
+        if bwd_aux:
+            wlp = w * jnp.where(s0 >= 0, 1.0, slope)
+            den_in = jnp.concatenate([w, wlp], axis=1)  # (CHUNK, 2h)
+            den_acc[:, : 2 * h] += jax.lax.dot_general(
+                m32, den_in, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        else:
+            den_acc[:, :h] += jax.lax.dot_general(
+                m32, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        wq = w * qt if dropped else w
         # ONE spread dot + ONE selection matmul across all feature tiles
         # (measured: -12% kernel time vs per-tile dots, flash_ablate.py).
         spread_all = jnp.concatenate(spreads, axis=1)  # (h, f_flat)
@@ -289,139 +322,38 @@ def _flash_fwd_kernel(
             msd, scaled, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
+        if bwd_aux:
+            # u = Σ w·lp·q·fs[src]: second accumulator, same mask matmul.
+            uw = wlp * qt if dropped else wlp
+            u_lane = jax.lax.dot_general(
+                uw, spread_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            scaled_u = tiles * (
+                u_lane if sdt == jnp.float32 else u_lane.astype(sdt)
+            )
+            u_acc[...] += jax.lax.dot_general(
+                msd, scaled_u, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
         return ()
 
     jax.lax.fori_loop(0, nck, body, (), unroll=False)
-    out_ref[...] = acc[...]
-    den_ref[...] = den_acc[...]
-
-
-def _flash_bwd_a_kernel(
-    astart_ref,
-    nchunks_ref,
-    bs_ref,
-    be_ref,
-    side_ref,  # (ROW_BLOCK, 3h) f32: [er | m | c]
-    gu_ref,  # (ROW_BLOCK, f_flat) sdt — dst-row cotangents
-    plane_ref,  # saved forward plane, HBM
-    *refs,  # [q_ref], der_ref, slab, der_acc, sem, [q_scr, q_sem]
-    h: int,
-    f: int,
-    f_flat: int,
-    n_ft: int,
-    slope: float,
-    ch: int,
-    dropped: bool = False,
-):
-    """Pass A (forward CSR, rows = destinations): der only.
-
-    Recomputes w exactly as the forward kernel, recovers each edge's
-    destination cotangent rows from the block (mask matmul), forms the
-    SDDMM dw and the softmax VJP ds0 in registers, and aggregates
-    ``der[d] = sum ds0`` — the one backward quantity grouped by
-    destination. Nothing per-edge is written. With dropout, ds0 becomes
-    ``w · (q·dw − c) · lp`` (c already absorbs q through the dropped out).
-    """
-    refs = list(refs)
-    q_ref = refs.pop(0) if dropped else None
-    der_ref, slab, der_acc, sem = refs[:4]
-    q_scr, q_sem = (refs[4], refs[5]) if dropped else (None, None)
-    rb = pl.program_id(0)
-    a0 = astart_ref[rb]
-    nck = nchunks_ref[rb]
-    sdt = slab.dtype
-    # TPU DEFAULT f32 matmuls run as ONE bf16 pass (~0.8% error —
-    # measured); the f32 stream exists for precision, so raise it.
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if sdt == jnp.float32
-        else jax.lax.Precision.DEFAULT
+    # In-kernel softmax normalization: den_acc is COMPLETE here (a row
+    # block owns every edge of its rows), so the former (N, f) divide
+    # pass outside the kernel collapses into this epilogue.
+    spread_all = jnp.concatenate(spreads, axis=1)
+    den_lane = jax.lax.dot_general(
+        den_acc[:, :h], spread_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (ROW_BLOCK, f_flat) — per-head denominator broadcast to its lanes
+    out_ref[...] = acc[...] / jnp.maximum(
+        den_lane, jnp.finfo(jnp.float32).tiny
     )
-
-    def dma(slot, i):
-        off = pl.multiple_of(a0 + i * ch, _ALIGN)
-        copies = [
-            pltpu.make_async_copy(
-                plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
-            )
-        ]
-        if dropped:
-            copies.append(
-                pltpu.make_async_copy(
-                    q_ref.at[:, pl.ds(off, ch)], q_scr.at[slot],
-                    q_sem.at[slot],
-                )
-            )
-        return copies
-
-    @pl.when(nck > 0)
-    def _():
-        for d in dma(0, 0):
-            d.start()
-
-    der_acc[...] = jnp.zeros_like(der_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ch, ROW_BLOCK), 0)
-    spreads = _spreads(h, f, n_ft)
-
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nck)
-        def _():
-            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
-                d.start()
-
-        for d in dma(slot, i):
-            d.wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)  # (CHUNK, ROW_BLOCK)
-        m32 = mb.astype(jnp.float32)
-        msd = mb.astype(sdt)
-        sl = slab[slot]
-        el = sl[:, f_flat : f_flat + h].astype(jnp.float32) + sl[
-            :, f_flat + h : f_flat + 2 * h
-        ].astype(jnp.float32)
-        emc = jax.lax.dot_general(
-            m32,
-            side_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (CHUNK, 3h)
-        s = el + emc[:, :h]
-        lp = jnp.where(s >= 0, 1.0, slope)
-        s = jnp.where(s >= 0, s, slope * s)
-        w = jnp.exp(jnp.minimum(s - emc[:, h : 2 * h], 0.0))
-        # Combined across feature tiles (one recovery dot, one SDDMM dot).
-        spread_all = jnp.concatenate(spreads, axis=1)  # (h, f_flat)
-        gu_all = jax.lax.dot_general(
-            msd,
-            gu_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        ).astype(sdt)  # (CHUNK, f_flat) per-edge dst cotangents
-        prod = sl[:, :f_flat] * gu_all
-        dw = jax.lax.dot_general(
-            prod.astype(jnp.float32),
-            spread_all,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        if dropped:
-            dw = dw * _q_transpose(q_scr[slot], h, ch)
-        ds0 = w * (dw - emc[:, 2 * h :]) * lp
-        der_acc[:, :h] += jax.lax.dot_general(
-            m32,
-            ds0,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        return ()
-
-    jax.lax.fori_loop(0, nck, body, (), unroll=False)
-    der_ref[...] = der_acc[...]
+    den_ref[...] = den_acc[...]
+    if bwd_aux:
+        u_ref[...] = u_acc[...]
 
 
 def _flash_bwd_b_kernel(
@@ -865,10 +797,10 @@ def flash_gat_attention(
 
     @jax.custom_vjp
     def attn(el2_, er2_, fs_, qf_, qt_):
-        out, _, _, _, _ = _fwd_parts(el2_, er2_, fs_, qf_)
+        out, _, _, _, _ = _fwd_parts(el2_, er2_, fs_, qf_, need_aux=False)
         return out
 
-    def _fwd_parts(el2_, er2_, fs_, qf_):
+    def _fwd_parts(el2_, er2_, fs_, qf_, need_aux: bool):
         # Segmented mode holds the whole node table while planes are
         # gathered per segment; storing it in the STREAM dtype is
         # compute-identical (every plane is cast to sdt anyway; el/er hi-lo
@@ -896,61 +828,51 @@ def flash_gat_attention(
         side = _pad_rows(
             jnp.concatenate([er2_, m], axis=1), meta.num_rows_padded
         )
+        n_out = (f_pad, _SIDE, f_pad) if need_aux else (f_pad, _SIDE)
+        kw = {"bwd_aux": need_aux}
         if segmented:
-            out_u, den = run_segmented(
+            res = run_segmented(
                 _flash_fwd_kernel, meta, bs3, be3,
                 [side], [2 * h], table, jnp.asarray(cols_pad),
-                (f_pad, _SIDE), {},
+                n_out, kw,
                 qstream=qf_ if dropped else None,
             )
         else:
-            out_u, den = run(
+            res = run(
                 _flash_fwd_kernel, meta, bs3, be3,
-                [side], [2 * h], plane, (f_pad, _SIDE), {},
+                [side], [2 * h], plane, n_out, kw,
                 qstream=qf_ if dropped else None,
             )
+        out_u, den = res[0], res[1]
         denom = jnp.maximum(den[:n, :h], jnp.finfo(jnp.float32).tiny)
-        out_n = out_u[:n, :f_flat]
-        out = (
-            out_n.reshape(n, h, f) / denom[:, :, None]
-        ).reshape(n, f_flat)
-        return out, m, denom, plane, None
+        # Output is normalized IN-KERNEL (den complete per row block).
+        out = out_u[:n, :f_flat]
+        if need_aux:
+            u = res[2][:n, :f_flat]  # Σ w·lp·q·fs[src], unnormalized
+            p = den[:n, h : 2 * h]  # Σ w·lp, unnormalized
+        else:
+            u = p = None
+        return out, m, denom, u, p
 
     def fwd(el2_, er2_, fs_, qf_, qt_):
-        out, m, denom, plane, _ = _fwd_parts(el2_, er2_, fs_, qf_)
-        # Segmented mode saves NO plane: backward re-gathers per segment
-        # (one extra gather per pass buys O(segment) peak HBM).
-        return out, (el2_, er2_, fs_, m, denom, out, plane, qf_, qt_)
+        out, m, denom, u, p = _fwd_parts(el2_, er2_, fs_, qf_, need_aux=True)
+        # No forward plane is saved: der comes from the (u, p) node tables
+        # and pass B re-builds its own plane (segmented mode re-gathers
+        # per segment — one extra gather buys O(segment) peak HBM).
+        return out, (el2_, er2_, fs_, m, denom, out, u, p, qf_, qt_)
 
     def bwd(res, g):
-        el2_, er2_, fs_, m, denom, out, plane, qf_, qt_ = res
+        el2_, er2_, fs_, m, denom, out, u, p, qf_, qt_ = res
         g2 = g.reshape(n, h, f)
         gu = (g2 / denom[:, :, None]).reshape(n, f_flat)
         c = jnp.sum(g2 * out.reshape(n, h, f), axis=-1) / denom  # (N, h)
 
-        # Pass A: forward CSR -> der.
-        sideA = _pad_rows(
-            jnp.concatenate([er2_, m, c], axis=1), meta.num_rows_padded
+        # der from the forward's aux aggregations — no pass A (module
+        # docstring): der[d] = <gu[d], u[d]> - c[d]·p[d].
+        der = (
+            jnp.sum(gu.reshape(n, h, f) * u.reshape(n, h, f), axis=-1)
+            - c * p
         )
-        guA = _pad_rows(
-            jnp.pad(gu, ((0, 0), (0, f_pad - f_flat))).astype(sdt),
-            meta.num_rows_padded,
-        )
-        if segmented:
-            (der_p,) = run_segmented(
-                _flash_bwd_a_kernel, meta, bs3, be3,
-                [sideA, guA], [3 * h, f_pad],
-                _table_fwd(el2_, fs_).astype(sdt), jnp.asarray(cols_pad),
-                (_SIDE,), {},
-                qstream=qf_ if dropped else None,
-            )
-        else:
-            (der_p,) = run(
-                _flash_bwd_a_kernel, meta, bs3, be3,
-                [sideA, guA], [3 * h, f_pad], plane, (_SIDE,), {},
-                qstream=qf_ if dropped else None,
-            )
-        der = der_p[:n, :h]
 
         # Pass B: transpose CSR -> d feat_src, dl.
         er_hi, er_lo = _hi_lo(er2_, bf16)

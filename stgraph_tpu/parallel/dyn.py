@@ -27,6 +27,28 @@ builds per shard inside ``shard_map`` with no host involvement. Off-TPU
 (CPU test meshes) the same functions run a masked-jnp path with identical
 semantics; ``use_kernel=True, interpret=True`` exercises the kernel path
 under the Pallas interpreter for CI.
+
+Why this path keeps merge-based delta replay instead of the lazy
+tombstone+tail-log store (``graph/lazy_store.py``), deliberately:
+
+  * the distributed step is COMMUNICATION-bound, not update-bound: every
+    timestep all-gathers the (N, F) feature table (dynamic edges have no
+    precomputable halo), which at any scale where distribution pays
+    dwarfs the per-shard structure update. The lazy store's O(delta)-vs-
+    O(capacity) win targets exactly the term that is not on this path's
+    critical path;
+  * each shard's store holds ~capacity/P edges and replays a delta slice
+    of at most the global batch — the merge cost the lazy store
+    eliminates is divided by P here before it starts;
+  * the lazy pair would grow the scan carry from 4 arrays to 11 per
+    shard and put the amortized-compaction ``lax.cond`` inside
+    ``shard_map``, where each shard's compaction fires at a different
+    step — correct (no collectives inside the branch) but it forfeits
+    SPMD uniformity for a term that is already off the critical path.
+
+If a profile ever shows shard-local updates dominating (deltas growing
+with P while features shrink), ``apply_delta_lazy`` is pure jnp and drops
+into ``dist_dyn_apply_delta``'s body unchanged.
 """
 
 from __future__ import annotations
