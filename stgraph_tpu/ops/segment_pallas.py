@@ -996,6 +996,18 @@ def spmm_rowmask(
     else:
         cols_pad = jnp.asarray(np.pad(cols_c, (0, meta.cap_pad - cap)))
 
+    if f_pad != f_flat:
+        # Pad the TABLE once (an O(N)-row copy): gathering 128-lane-aligned
+        # rows takes XLA's fast row-block gather path. Gathering the raw
+        # f_flat-wide rows measured 7.5x slower at ogbn scale (5.2 s vs
+        # 0.70 s for the 47-lane classes plane — 188 B unaligned rows).
+        # The barrier is LOAD-BEARING: without it XLA fuses the pad into
+        # the gather's operand and the unaligned reads come back (measured
+        # 19M rows/s fused vs 86M materialized). docs/PERF.md round 5.
+        node_feats = jax.lax.optimization_barrier(
+            jnp.pad(node_feats, ((0, 0), (0, f_pad - f_flat)))
+        )
+
     bs3 = meta.bs.reshape(meta.num_blocks, ROW_BLOCK, 1)
     be3 = meta.be.reshape(meta.num_blocks, ROW_BLOCK, 1)
 
@@ -1022,12 +1034,11 @@ def spmm_rowmask(
         nb_seg = b1 - b0
         astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo, hi - lo)
         seg_cols = jax.lax.slice(cols_pad, (lo,), (hi,))
-        # Gather from the ORIGINAL dtype table, cast on the output: the
-        # random reads are transaction-bound (row payload width is free),
-        # and the cast fuses into the gather's sequential write.
+        # Gather from the ORIGINAL dtype table (pre-padded to f_pad lanes
+        # above), cast on the output: the random reads are transaction-
+        # bound (row payload width is free), and the cast fuses into the
+        # gather's sequential write.
         gathered = node_feats[seg_cols].astype(feat_dtype)
-        if f_pad != f_flat:
-            gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
         in_specs = [
             pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
             pl.BlockSpec((1, ROW_BLOCK, 1), lambda rb, ft, *_: (rb, 0, 0)),
@@ -1474,6 +1485,13 @@ def spmm_rowmask_bwd(
         ((0, meta.cap_pad - cap), (0, k_pad - heads)),
     ).T  # (K_pad, CAP_pad)
 
+    if f_pad != f_flat:
+        # Pad the gathered table once, behind an optimization_barrier so
+        # the pad MATERIALIZES (same 7.5x finding as spmm_rowmask, r5).
+        node_feats = jax.lax.optimization_barrier(
+            jnp.pad(node_feats, ((0, 0), (0, f_pad - f_flat)))
+        )
+
     fs_tbl = fs
     if f_pad != f_flat:
         fs_tbl = jnp.pad(fs_tbl, ((0, 0), (0, f_pad - f_flat)))
@@ -1502,8 +1520,6 @@ def spmm_rowmask_bwd(
         astart_s, nchunks_s, bs_s, be_s = _meta_slice(b0, nb_seg, lo, span)
         seg_cols = jax.lax.slice(cols_pad, (lo,), (hi,))
         gathered = node_feats[seg_cols].astype(feat_dtype)
-        if f_pad != f_flat:
-            gathered = jnp.pad(gathered, ((0, 0), (0, f_pad - f_flat)))
         # Uniform multi-segment shapes can overrun the row table; slice what
         # exists and zero-pad the (empty, nchunks==0) straggler blocks.
         hi_row = min((b0 + nb_seg) * ROW_BLOCK, fs_tbl.shape[0])
