@@ -155,9 +155,12 @@ def main() -> None:
         h128, sids, sids_t, burst=3)
     run(
         "spmm128_fb",
-        lambda h, si, st: jax.value_and_grad(
-            lambda hh: jnp.sum(sp(hh, si, st) ** 2, dtype=jnp.float32)
-        )(h)[0],
+        lambda h, si, st: jnp.sum(
+            jax.grad(
+                lambda hh: jnp.sum(sp(hh, si, st) ** 2, dtype=jnp.float32)
+            )(h),
+            dtype=jnp.float32,
+        ),  # force the GRADIENT (returning the value DCEs the backward)
         h128, sids, sids_t, burst=2,
     )
     run("spmm47_fwd",
@@ -165,9 +168,12 @@ def main() -> None:
         h47, sids, sids_t, burst=3)
     run(
         "spmm47_fb",
-        lambda h, si, st: jax.value_and_grad(
-            lambda hh: jnp.sum(sp(hh, si, st) ** 2, dtype=jnp.float32)
-        )(h)[0],
+        lambda h, si, st: jnp.sum(
+            jax.grad(
+                lambda hh: jnp.sum(sp(hh, si, st) ** 2, dtype=jnp.float32)
+            )(h),
+            dtype=jnp.float32,
+        ),
         h47, sids, sids_t, burst=2,
     )
 
