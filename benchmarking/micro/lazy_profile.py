@@ -95,12 +95,13 @@ def main() -> None:
         )
         return dt
 
-    def make_run(pair0):
+    def make_run(pair0, tail_kill=True):
         def run(pair, a, dl):
             def body(pair, xs):
                 aa, dd = xs
                 pair = apply_delta_lazy_pair(
-                    pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1]
+                    pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1],
+                    tail_kill=tail_kill,
                 )
                 return pair, pair.fwd.num_edges
 
@@ -115,6 +116,20 @@ def main() -> None:
         cols0, rows0, nodes, capacity=cap, tail_capacity=16 * slide
     )
     bench("pair_step", make_run(pair_small), pair_small, adds_j, dels_j,
+          per=steps)
+
+    # 1b. Ablation: the same step with the tail-kill pass (bisect every
+    #     tail entry into the sorted delete batch) skipped — isolates the
+    #     O(tcap)-per-step suspect.
+    bench("step_nokill", make_run(pair_small, tail_kill=False),
+          pair_small, adds_j, dels_j, per=steps)
+
+    # 1c. Small-tail variant: compactions fire 4x as often (every ~4
+    #     steps per store) — exposes the in-scan compaction cost by slope.
+    pair_tiny = lazy_pair_from_edges(
+        cols0, rows0, nodes, capacity=cap, tail_capacity=4 * slide
+    )
+    bench("pair_tcap40k", make_run(pair_tiny), pair_tiny, adds_j, dels_j,
           per=steps)
 
     # 2. Compaction-free window: logs sized for the whole run.

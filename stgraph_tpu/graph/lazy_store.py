@@ -206,6 +206,7 @@ def apply_delta_lazy(
     del_rows: jnp.ndarray,
     del_cols: jnp.ndarray,
     add_weights: Optional[jnp.ndarray] = None,
+    tail_kill: bool = True,
 ) -> LazyStore:
     """O(delta) update. Same contract as ``delta_graph.apply_delta``:
     sentinel-padded batches; deletions name existing edges; an addition
@@ -248,22 +249,31 @@ def apply_delta_lazy(
     #    cost: sorting the TAIL every step is an O(tcap log tcap) device
     #    sort; instead sort the (small) delete batch once and bisect every
     #    tail entry into it — O(d log d) + log(d) vector passes over tcap.
-    qo = _lexsort_rc(del_rows, del_cols)
-    sq_r, sq_c = del_rows[qo], del_cols[qo]
-    hit_sorted_q, t_cand = _sorted_lookup(
-        sq_r, sq_c, store.tail_rows, store.tail_cols, n
-    )
-    kill_mask = hit_sorted_q  # per tail entry: a delete names it
-    tail_rows = jnp.where(kill_mask, n, store.tail_rows)
-    tail_cols = jnp.where(kill_mask, n, store.tail_cols)
-    tail_w = jnp.where(kill_mask, 0.0, store.tail_w)
-    # Which deletes were satisfied by a tail kill (per original slot).
-    found_sorted = (
-        jnp.zeros((d_del,), jnp.bool_)
-        .at[jnp.where(kill_mask, t_cand, d_del)]
-        .max(True, mode="drop")
-    )
-    t_found = jnp.zeros((d_del,), jnp.bool_).at[qo].set(found_sorted)
+    #    (``tail_kill=False`` is an ablation knob for lazy_profile.py: it
+    #    skips this block, which is only correct when no delete ever names
+    #    a tail-resident edge.)
+    if tail_kill:
+        qo = _lexsort_rc(del_rows, del_cols)
+        sq_r, sq_c = del_rows[qo], del_cols[qo]
+        hit_sorted_q, t_cand = _sorted_lookup(
+            sq_r, sq_c, store.tail_rows, store.tail_cols, n
+        )
+        kill_mask = hit_sorted_q  # per tail entry: a delete names it
+        tail_rows = jnp.where(kill_mask, n, store.tail_rows)
+        tail_cols = jnp.where(kill_mask, n, store.tail_cols)
+        tail_w = jnp.where(kill_mask, 0.0, store.tail_w)
+        # Which deletes were satisfied by a tail kill (per original slot).
+        found_sorted = (
+            jnp.zeros((d_del,), jnp.bool_)
+            .at[jnp.where(kill_mask, t_cand, d_del)]
+            .max(True, mode="drop")
+        )
+        t_found = jnp.zeros((d_del,), jnp.bool_).at[qo].set(found_sorted)
+    else:
+        tail_rows = store.tail_rows
+        tail_cols = store.tail_cols
+        tail_w = store.tail_w
+        t_found = jnp.zeros((d_del,), jnp.bool_)
 
     # 2. remaining deletions tombstone MAIN (w = 0) and go on the pending
     #    log for the next compaction.

@@ -261,18 +261,19 @@ def lazy_pair_from_edges(
 
 
 def apply_delta_lazy_pair(
-    pair: LazyPair, add_src, add_dst, del_src, del_dst, add_weights=None
+    pair: LazyPair, add_src, add_dst, del_src, del_dst, add_weights=None,
+    tail_kill: bool = True,
 ) -> LazyPair:
     from stgraph_tpu.graph.lazy_store import apply_delta_lazy
 
     return LazyPair(
         fwd=apply_delta_lazy(
             pair.fwd, add_dst, add_src, del_dst, del_src,
-            add_weights=add_weights,
+            add_weights=add_weights, tail_kill=tail_kill,
         ),
         bwd=apply_delta_lazy(
             pair.bwd, add_src, add_dst, del_src, del_dst,
-            add_weights=add_weights,
+            add_weights=add_weights, tail_kill=tail_kill,
         ),
     )
 
