@@ -75,6 +75,9 @@ def main() -> None:
     )
     print(f"flash forward:             {dt_f*1e3:.2f} ms", flush=True)
 
+    # ALL THREE grads must feed the timed output: der (backward pass A)
+    # reaches only the er gradient, so returning just g[2] lets XLA DCE
+    # pass A entirely and the "fwd+bwd" time silently excludes it.
     g = jax.grad(
         lambda a, b, c: jnp.sum(
             flash_gat_attention(csr, a, b, c, heads=h, stream_dtype=sdt)
@@ -82,12 +85,34 @@ def main() -> None:
         ),
         argnums=(0, 1, 2),
     )
-    dt_b = bench_chained(lambda: (lambda c: g(el, er, c)[2]), fs)
+
+    def full_grads(c):
+        dl, der, dfs = g(el, er, c)
+        return jnp.concatenate([dl, der, dfs], axis=1)
+
+    dt_b = bench_chained(lambda: (lambda c: full_grads(c)), fs)
     print(
         f"flash fwd+bwd:             {dt_b*1e3:.2f} ms "
         f"(bwd ~= {(dt_b-dt_f)*1e3:.2f} ms, {e/dt_b/1e6:.1f}M edges/s)",
         flush=True,
     )
+
+    # Per-pass stage costs: skip one backward pass (its outputs zeroed,
+    # so its kernels AND plane builds drop out of the program) and
+    # subtract. flash_gat._SKIP_BWD_PASS is a trace-time knob.
+    from stgraph_tpu.ops import flash_gat as fg
+
+    for skip in ("A", "B"):
+        fg._SKIP_BWD_PASS = skip
+        try:
+            dt_s = bench_chained(lambda: (lambda c: full_grads(c)), fs)
+        finally:
+            fg._SKIP_BWD_PASS = None
+        print(
+            f"fwd+bwd minus pass {skip}:     {dt_s*1e3:.2f} ms "
+            f"(pass {skip} = {(dt_b-dt_s)*1e3:.2f} ms)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -95,13 +95,15 @@ def main() -> None:
         )
         return dt
 
-    def make_run(pair0, tail_kill=True):
+    def make_run(pair0, weighted=False):
+        wts = jnp.ones((slide,), jnp.float32) if weighted else None
+
         def run(pair, a, dl):
             def body(pair, xs):
                 aa, dd = xs
                 pair = apply_delta_lazy_pair(
                     pair, aa[:, 0], aa[:, 1], dd[:, 0], dd[:, 1],
-                    tail_kill=tail_kill,
+                    add_weights=wts,
                 )
                 return pair, pair.fwd.num_edges
 
@@ -118,11 +120,15 @@ def main() -> None:
     bench("pair_step", make_run(pair_small), pair_small, adds_j, dels_j,
           per=steps)
 
-    # 1b. Ablation: the same step with the tail-kill pass (bisect every
-    #     tail entry into the sorted delete batch) skipped — isolates the
-    #     O(tcap)-per-step suspect.
-    bench("step_nokill", make_run(pair_small, tail_kill=False),
-          pair_small, adds_j, dels_j, per=steps)
+    # 1b. WEIGHTED pair: exercises the legacy tail-kill path (bisects
+    #     every tail entry into the sorted delete batch, O(tcap·log d)
+    #     per step) — the cost the unweighted anti-entry path removes.
+    pair_w = lazy_pair_from_edges(
+        cols0, rows0, nodes, capacity=cap, tail_capacity=16 * slide,
+        weights=np.ones((e0,), np.float32),
+    )
+    bench("step_weighted", make_run(pair_w, weighted=True),
+          pair_w, adds_j, dels_j, per=steps)
 
     # 1c. Small-tail variant: compactions fire 4x as often (every ~4
     #     steps per store) — exposes the in-scan compaction cost by slope.
@@ -130,6 +136,14 @@ def main() -> None:
         cols0, rows0, nodes, capacity=cap, tail_capacity=4 * slide
     )
     bench("pair_tcap40k", make_run(pair_tiny), pair_tiny, adds_j, dels_j,
+          per=steps)
+
+    # 1d. Large-tail variant: with O(delta) per-step cost the tail size
+    #     only sets compaction cadence — 64·slide fires every ~64 steps.
+    pair_64 = lazy_pair_from_edges(
+        cols0, rows0, nodes, capacity=cap, tail_capacity=64 * slide
+    )
+    bench("pair_tcap640k", make_run(pair_64), pair_64, adds_j, dels_j,
           per=steps)
 
     # 2. Compaction-free window: logs sized for the whole run.
@@ -140,11 +154,12 @@ def main() -> None:
     bench("pair_nocompact", make_run(pair_big), pair_big, adds_j, dels_j,
           per=steps)
 
-    # 3. One compaction on a full-log single store.
+    # 3. One compaction on a full-log single store: 15 batches of adds
+    #    in the tail, 15 batches of main tombstones (w=0 + anti-free) —
+    #    the steady-state shape the in-scan cond branch sees.
     store = lazy_from_edges(
         cols0, rows0, nodes, capacity=cap, tail_capacity=16 * slide
     )
-    # Fill logs host-side: 15 batches of adds into the tail, dels pending.
     t = 16 * slide
     tr = np.full((t,), nodes, np.int32)
     tc = np.full((t,), nodes, np.int32)
@@ -153,21 +168,58 @@ def main() -> None:
     tr[:fill] = rng.integers(0, nodes, fill)
     tc[:fill] = rng.integers(0, nodes, fill)
     tw[:fill] = 1.0
-    pr = np.full((t,), nodes, np.int32)
-    pc = np.full((t,), nodes, np.int32)
+    w_main = np.zeros((cap,), np.float32)
+    w_main[:e0] = 1.0
     sel = rng.choice(e0, fill, replace=False)
-    pr[:fill] = rows0[sel]
-    pc[:fill] = cols0[sel]
+    w_main[sel] = 0.0  # tombstoned main slots (w>0 is the only record)
     from dataclasses import replace as dc_replace
 
     store_full = dc_replace(
         store,
+        w=jnp.asarray(w_main),
         tail_rows=jnp.asarray(tr), tail_cols=jnp.asarray(tc),
         tail_w=jnp.asarray(tw), tail_count=jnp.int32(fill),
-        pd_rows=jnp.asarray(pr), pd_cols=jnp.asarray(pc),
-        pd_count=jnp.int32(fill),
     )
     bench("compact_once", lambda s: compact(s).num_edges, store_full)
+
+    # 3b. The same compaction INSIDE a scan, unconditionally chained —
+    #     isolates whether the in-scan lax.cond(taken) overhead is the
+    #     compact program itself or the cond/scan interaction (the
+    #     implied in-scan cost from pair_step is ~15x compact_once).
+    def run_compact_chain(s):
+        def body(s, _):
+            return compact(s), s.num_edges
+
+        _, es = jax.lax.scan(body, s, None, length=8)
+        return es[-1]
+
+    bench("compact_chain8", run_compact_chain, store_full, per=8)
+
+    # 3c. The cond exactly as the step builds it, taken every iteration
+    #     (tail pre-filled so need=True each time after re-fill).
+    def run_cond_chain(s):
+        def body(s, _):
+            s2 = jax.lax.cond(
+                s.tail_count + slide > s.tail_capacity,
+                compact,
+                lambda x: x,
+                s,
+            )
+            # Re-fill the tail count so the cond keeps firing (the log
+            # arrays keep their stale content — cost is shape-driven).
+            from dataclasses import replace as _rep
+
+            s2 = _rep(
+                s2,
+                tail_rows=s.tail_rows, tail_cols=s.tail_cols,
+                tail_w=s.tail_w, tail_count=s.tail_count,
+            )
+            return s2, s2.num_edges
+
+        _, es = jax.lax.scan(body, s, None, length=8)
+        return es[-1]
+
+    bench("cond_chain8", run_cond_chain, store_full, per=8)
 
     # 4. Bare scatter floor: 10k tombstone writes into (cap,) f32, chained
     #    in the same scan shape so dispatch amortizes identically.

@@ -1,6 +1,6 @@
-"""Lazy dynamic edge store: O(delta) updates via tombstones + tail log.
+"""Lazy dynamic edge store: O(delta) updates via tombstones + signed logs.
 
-The measured reality behind this module (docs/PERF.md round-4 dynamic
+The measured reality behind this module (docs/PERF.md round-5 dynamic
 section): every capacity-wide pass costs ~10-30 ms at wiki-talk scale
 (2M slots) no matter how clever the merge — the flat merge-based
 ``apply_delta`` costs ~153 ms/step and the chunked PMA path is WORSE for
@@ -11,26 +11,42 @@ equivalent of that amortization, with static shapes:
 
   * the MAIN store stays sorted by (row, col) with sentinel padding —
     the layout the row-id Pallas kernels consume directly;
-  * a DELETION is a tombstone: bisect the key (O(log cap) vectorized
-    passes over d queries), scatter ``w = 0`` at the hit — the kernels
-    read weights, so a zero-weight edge contributes nothing while the
-    row-id monotonicity the kernel metadata needs is untouched. The
-    (row, col) key is pushed onto a pending-deletes log so the next
-    compaction can drop the slot;
+  * a DELETION of a main-resident edge is a tombstone: bisect the key
+    (O(log cap) vectorized passes over d queries), scatter ``w = 0`` at
+    the hit — the kernels read weights, so a zero-weight edge
+    contributes nothing while the row-id monotonicity the kernel
+    metadata needs is untouched. ``w > 0`` IS the main liveness record:
+    no pending-delete log exists (an earlier design kept one for the
+    compaction merge; the merge below never looks at it);
   * an ADDITION appends to a TAIL log (one ``dynamic_update_slice``);
-    aggregation adds the tail's contribution with a small masked
-    segment-sum (the tail is O(K·d), not O(cap));
-  * deleting an edge that still lives in the tail kills the tail entry
-    in place (sorted lookup over the tail) instead of logging a pending
-    delete — so the pending log only ever names MAIN edges, which keeps
-    the compaction a single ``apply_delta`` call;
-  * when either log nears capacity, ONE ``lax.cond`` branch runs the
-    existing merge-based ``apply_delta`` (main + tail as adds + pending
-    as deletes) — the amortized O(cap) rebalance, paid every
-    ~tail_capacity/d steps instead of every step.
+    aggregation adds the log contributions with a small masked
+    segment-sum (the logs are O(K·d), not O(cap));
+  * a DELETION that misses the live main store names a tail-resident
+    edge (the ``apply_delta`` contract: deletions name existing edges).
+    Rather than searching the tail — the round-4 design bisected EVERY
+    tail entry into the sorted delete batch, a measured 35.7 ms/step =
+    52% of the whole update at the wiki-talk shape (O(tcap·log d), see
+    ``benchmarking/micro/lazy_profile.py``) — the key goes onto an ANTI
+    log with implicit weight ``-1``. Aggregation multiplies by signed
+    log weights, so the anti entry cancels the tail entry exactly, in
+    O(d) per step with NO tail-sized pass. (Anti entries require the
+    cancelled weight to be known without a lookup, so this path is
+    taken for unweighted stores; weighted stores keep the in-place
+    tail-kill pass, whose cost only matters at log sizes no weighted
+    workload here reaches.)
+  * when a log nears capacity, ONE ``lax.cond`` branch compacts: the
+    logs are PRE-COMBINED into net per-key weights (one O(tcap·log
+    tcap) sort — +1/-1 pairs cancel to net 0 and drop, survivors land
+    contiguous and SORTED), the main store is live-compacted (cumsum
+    over ``w > 0`` + scatter — dead slots vanish), and the two now
+    DISJOINT sorted sets are merged by bisecting the net adds into live
+    main and rank-placing both sides. No capacity-wide sort, no
+    delete-cancel pass, no giant 3-key delta lexsort — the amortized
+    O(cap) cost is two log-sized argsorts + two capacity cumsums + one
+    log-sized binary search.
 
-Per-step cost: two sorted lookups over d queries + three O(d) scatters
-+ two O(d) appends — no capacity-wide traffic at all outside the
+Per-step cost: one sorted lookup over d queries + two O(d) scatters +
+two O(d) appends — no capacity- or log-wide traffic at all outside the
 amortized compaction.
 """
 
@@ -43,11 +59,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stgraph_tpu.graph.delta_graph import (
-    EdgeStore,
-    _searchsorted_rc,
-    apply_delta,
-)
+from stgraph_tpu.graph.delta_graph import _searchsorted_rc
 
 __all__ = [
     "LazyStore",
@@ -60,11 +72,12 @@ __all__ = [
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class LazyStore:
-    """Sorted main store + tail/pending logs. Sentinel row == num_nodes.
+    """Sorted main store + tail/anti logs. Sentinel row == num_nodes.
 
     ``w`` doubles as the liveness mask: live edges carry their weight
     (1.0 when the graph is unweighted), tombstoned and padding slots
-    carry 0. ``num_edges`` counts live edges (main + tail).
+    carry 0. Anti-log entries carry an implicit weight of -1 (the log
+    stores only keys). ``num_edges`` counts live edges (main + logs).
     """
 
     rows: jnp.ndarray  # (cap,) int32 sorted (row, col), sentinel-padded
@@ -74,9 +87,9 @@ class LazyStore:
     tail_cols: jnp.ndarray  # (tcap,)
     tail_w: jnp.ndarray  # (tcap,) f32
     tail_count: jnp.ndarray  # () int32 — slots used (incl. holes)
-    pd_rows: jnp.ndarray  # (tcap,) pending deletes against MAIN
-    pd_cols: jnp.ndarray
-    pd_count: jnp.ndarray  # () int32
+    anti_rows: jnp.ndarray  # (tcap,) int32 — implicit weight -1 keys
+    anti_cols: jnp.ndarray  # (tcap,)
+    anti_count: jnp.ndarray  # () int32
     num_edges: jnp.ndarray  # () int32 live edges
     num_nodes: int = field(metadata={"static": True})
     weighted: bool = field(metadata={"static": True})
@@ -85,7 +98,8 @@ class LazyStore:
         children = (
             self.rows, self.cols, self.w,
             self.tail_rows, self.tail_cols, self.tail_w, self.tail_count,
-            self.pd_rows, self.pd_cols, self.pd_count, self.num_edges,
+            self.anti_rows, self.anti_cols, self.anti_count,
+            self.num_edges,
         )
         return children, (self.num_nodes, self.weighted)
 
@@ -100,6 +114,22 @@ class LazyStore:
     @property
     def tail_capacity(self) -> int:
         return self.tail_rows.shape[0]
+
+    def anti_w(self) -> jnp.ndarray:
+        """(tcap,) signed weights of the anti log (-1 per live key)."""
+        return jnp.where(self.anti_rows < self.num_nodes, -1.0, 0.0)
+
+
+def _empty_logs(t: int, n: int):
+    return dict(
+        tail_rows=jnp.full((t,), n, jnp.int32),
+        tail_cols=jnp.full((t,), n, jnp.int32),
+        tail_w=jnp.zeros((t,), jnp.float32),
+        tail_count=jnp.int32(0),
+        anti_rows=jnp.full((t,), n, jnp.int32),
+        anti_cols=jnp.full((t,), n, jnp.int32),
+        anti_count=jnp.int32(0),
+    )
 
 
 def lazy_from_edges(
@@ -125,18 +155,11 @@ def lazy_from_edges(
     r[:e] = rows
     c[:e] = cols
     w[:e] = 1.0 if weights is None else np.asarray(weights, np.float32)[order]
-    t = tail_capacity
     return LazyStore(
         rows=jnp.asarray(r),
         cols=jnp.asarray(c),
         w=jnp.asarray(w),
-        tail_rows=jnp.full((t,), n, jnp.int32),
-        tail_cols=jnp.full((t,), n, jnp.int32),
-        tail_w=jnp.zeros((t,), jnp.float32),
-        tail_count=jnp.int32(0),
-        pd_rows=jnp.full((t,), n, jnp.int32),
-        pd_cols=jnp.full((t,), n, jnp.int32),
-        pd_count=jnp.int32(0),
+        **_empty_logs(tail_capacity, n),
         num_edges=jnp.int32(e),
         num_nodes=n,
         weighted=weights is not None,
@@ -161,39 +184,99 @@ def _sorted_lookup(s_rows, s_cols, q_rows, q_cols, n):
 
 
 def compact(store: LazyStore) -> LazyStore:
-    """Merge tail + pending logs into the main store (one apply_delta)."""
+    """Merge the logs into the main store (the amortized O(cap) branch).
+
+    Three phases, none of which sorts at capacity scale:
+
+    1. PRE-COMBINE the tail+anti logs: one O(tcap·log tcap) lexsort of
+       the concatenated signed entries, a segment-sum of weights per
+       key run, and a rank-scatter of the survivors (net weight > 0) to
+       the front — yielding contiguous, SORTED, duplicate-free net adds
+       (an added-then-deleted edge nets to 0 and vanishes).
+    2. LIVE-COMPACT main: ``w > 0`` is the liveness record (tombstones
+       carry 0), so a cumsum + rank-scatter drops dead slots while
+       keeping sort order. No pending-delete log is needed.
+    3. MERGE: net adds are DISJOINT from live main (a re-added key's
+       main copy is dead; a new key was never there), so one binary
+       search of the (small) add list into live main gives each add's
+       slot, and a cumsum-based rank-select places both sides. The
+       merged store is exactly sorted, sentinel-padded, all weights
+       live.
+    """
     n = store.num_nodes
     t = store.tail_capacity
-    flat = EdgeStore(
-        rows=store.rows,
-        cols=store.cols,
-        num_edges=jnp.sum((store.w > 0).astype(jnp.int32)),
-        num_nodes=n,
-        weights=store.w,
+    cap = store.capacity
+    t2 = 2 * t
+
+    # --- 1. pre-combine the logs into sorted net adds -------------------
+    r_a = jnp.concatenate([store.tail_rows, store.anti_rows])
+    c_a = jnp.concatenate([store.tail_cols, store.anti_cols])
+    w_a = jnp.concatenate([store.tail_w, store.anti_w()])
+    o = _lexsort_rc(r_a, c_a)
+    r, c, w = r_a[o], c_a[o], w_a[o]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (r[1:] != r[:-1]) | (c[1:] != c[:-1]),
+        ]
     )
-    # Tombstoned slots must not survive the merge by key identity: the
-    # pending log names each one exactly once, so apply_delta's
-    # delete-cancel pass drops them.
-    out = apply_delta(
-        flat,
-        add_rows=store.tail_rows,
-        add_cols=store.tail_cols,
-        del_rows=store.pd_rows,
-        del_cols=store.pd_cols,
-        add_weights=store.tail_w,
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    net = jax.ops.segment_sum(w, rid, num_segments=t2)[rid]
+    keep = first & (r < n) & (net > 0)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = jnp.where(keep, rank, t2)  # non-kept scatter out of bounds
+    # Scatter-to-rank keeps sorted order; sentinel-init catches holes.
+    na_r = jnp.full((t2,), n, jnp.int32).at[pos].set(
+        jnp.where(keep, r, n), mode="drop"
     )
+    na_c = jnp.full((t2,), n, jnp.int32).at[pos].set(
+        jnp.where(keep, c, n), mode="drop"
+    )
+    na_w = jnp.zeros((t2,), jnp.float32).at[pos].set(
+        jnp.where(keep, net, 0.0), mode="drop"
+    )
+    k_a = jnp.sum(keep.astype(jnp.int32))
+
+    # --- 2. live-compact main -------------------------------------------
+    lm = store.w > 0
+    mrank = jnp.cumsum(lm.astype(jnp.int32)) - 1
+    mpos = jnp.where(lm, mrank, cap)  # dead slots scatter out of bounds
+    lm_r = jnp.full((cap,), n, jnp.int32).at[mpos].set(
+        jnp.where(lm, store.rows, n), mode="drop"
+    )
+    lm_c = jnp.full((cap,), n, jnp.int32).at[mpos].set(
+        jnp.where(lm, store.cols, n), mode="drop"
+    )
+    lm_w = jnp.zeros((cap,), jnp.float32).at[mpos].set(
+        jnp.where(lm, store.w, 0.0), mode="drop"
+    )
+    k_m = jnp.sum(lm.astype(jnp.int32))
+
+    # --- 3. merge two disjoint sorted lists -----------------------------
+    # Right-bisect each add into live main (sentinel adds land at cap —
+    # past every real key — so their merged positions fall beyond the
+    # real prefix and are clipped by the [:cap] slice). q is strictly
+    # increasing over real adds; collisions between main- and add-side
+    # sentinels beyond the real prefix are harmless (both sides sentinel).
+    p = _searchsorted_rc(lm_r, lm_c, na_r, na_c)
+    q = p + jnp.arange(t2, dtype=jnp.int32)
+    L = cap + t2
+    i = jnp.arange(L, dtype=jnp.int32)
+    ind = jnp.zeros((L + 1,), jnp.int32).at[jnp.minimum(q + 1, L)].add(1)
+    tcum = jnp.cumsum(ind)[:L]
+    tc = jnp.minimum(tcum, t2 - 1)
+    is_add = q[tc] == i
+    sidx = jnp.minimum(jnp.maximum(i - tcum, 0), cap - 1)
+    m_rows = jnp.where(is_add, na_r[tc], lm_r[sidx])[:cap]
+    m_cols = jnp.where(is_add, na_c[tc], lm_c[sidx])[:cap]
+    m_w = jnp.where(is_add, na_w[tc], lm_w[sidx])[:cap]
+    pad = m_rows >= n
     return LazyStore(
-        rows=out.rows,
-        cols=out.cols,
-        w=out.weights,
-        tail_rows=jnp.full((t,), n, jnp.int32),
-        tail_cols=jnp.full((t,), n, jnp.int32),
-        tail_w=jnp.zeros((t,), jnp.float32),
-        tail_count=jnp.int32(0),
-        pd_rows=jnp.full((t,), n, jnp.int32),
-        pd_cols=jnp.full((t,), n, jnp.int32),
-        pd_count=jnp.int32(0),
-        num_edges=out.num_edges,
+        rows=jnp.where(pad, n, m_rows),
+        cols=jnp.where(pad, n, m_cols),
+        w=jnp.where(pad, 0.0, m_w),
+        **_empty_logs(t, n),
+        num_edges=k_m + k_a,
         num_nodes=n,
         weighted=store.weighted,
     )
@@ -206,7 +289,6 @@ def apply_delta_lazy(
     del_rows: jnp.ndarray,
     del_cols: jnp.ndarray,
     add_weights: Optional[jnp.ndarray] = None,
-    tail_kill: bool = True,
 ) -> LazyStore:
     """O(delta) update. Same contract as ``delta_graph.apply_delta``:
     sentinel-padded batches; deletions name existing edges; an addition
@@ -228,11 +310,11 @@ def apply_delta_lazy(
             f"tail_capacity={t}; the logs cannot hold one batch"
         )
     # Amortized compaction FIRST, gated on this step's actual batch
-    # sizes: if either log cannot absorb the incoming batch, merge both
+    # sizes: if any log cannot absorb the incoming batch, merge the
     # logs into main now. Running the cond before any append makes the
     # overflow guard exact (appending first and checking a proxy could
     # silently truncate a first oversized batch — advisor round 4).
-    need = (store.tail_count + d_add > t) | (store.pd_count + d_del > t)
+    need = (store.tail_count + d_add > t) | (store.anti_count + d_del > t)
     store = jax.lax.cond(need, compact, lambda s: s, store)
     del_rows = del_rows.astype(jnp.int32)
     del_cols = del_cols.astype(jnp.int32)
@@ -245,14 +327,13 @@ def apply_delta_lazy(
     )
 
     # --- deletions --------------------------------------------------------
-    # 1. kill matching LIVE tail entries in place. Direction matters for
-    #    cost: sorting the TAIL every step is an O(tcap log tcap) device
-    #    sort; instead sort the (small) delete batch once and bisect every
-    #    tail entry into it — O(d log d) + log(d) vector passes over tcap.
-    #    (``tail_kill=False`` is an ablation knob for lazy_profile.py: it
-    #    skips this block, which is only correct when no delete ever names
-    #    a tail-resident edge.)
-    if tail_kill:
+    if store.weighted:
+        # Weighted stores: kill matching LIVE tail entries in place (an
+        # anti entry would need the cancelled weight, which deletions
+        # don't carry). Direction matters for cost: sorting the TAIL
+        # every step is an O(tcap log tcap) device sort; instead sort
+        # the (small) delete batch once and bisect every tail entry into
+        # it — O(tcap·log d) per step, fine at weighted-workload scales.
         qo = _lexsort_rc(del_rows, del_cols)
         sq_r, sq_c = del_rows[qo], del_cols[qo]
         hit_sorted_q, t_cand = _sorted_lookup(
@@ -269,40 +350,58 @@ def apply_delta_lazy(
             .max(True, mode="drop")
         )
         t_found = jnp.zeros((d_del,), jnp.bool_).at[qo].set(found_sorted)
+        m_found, m_cand = _sorted_lookup(
+            store.rows, store.cols, del_rows, del_cols, n
+        )
+        main_del = m_found & ~t_found
+        anti_rows, anti_cols = store.anti_rows, store.anti_cols
+        anti_count = store.anti_count
     else:
-        tail_rows = store.tail_rows
-        tail_cols = store.tail_cols
-        tail_w = store.tail_w
-        t_found = jnp.zeros((d_del,), jnp.bool_)
+        # Unweighted: deletes that miss the LIVE main store name a
+        # tail-resident edge (the contract); push the key onto the anti
+        # log (implicit weight -1) — aggregation's signed segment-sum
+        # cancels the tail entry exactly. O(d) per step; the round-4
+        # tail-kill pass this replaces was O(tcap·log d) and cost 52%
+        # of the whole update step (lazy_profile.py, docs/PERF.md r5).
+        tail_rows, tail_cols, tail_w = (
+            store.tail_rows, store.tail_cols, store.tail_w
+        )
+        m_found, m_cand = _sorted_lookup(
+            store.rows, store.cols, del_rows, del_cols, n
+        )
+        # Liveness check matters: a tombstoned-then-re-added key is
+        # still PRESENT in main (w=0) but its live copy is in the tail —
+        # that delete must go anti.
+        main_del = m_found & (store.w[m_cand] > 0)
+        anti_valid = (del_rows < n) & ~main_del
+        anti_rows = jax.lax.dynamic_update_slice(
+            jnp.concatenate(
+                [store.anti_rows, jnp.full((d_del,), n, jnp.int32)]
+            ),
+            jnp.where(anti_valid, del_rows, n),
+            (store.anti_count,),
+        )[:t]
+        anti_cols = jax.lax.dynamic_update_slice(
+            jnp.concatenate(
+                [store.anti_cols, jnp.full((d_del,), n, jnp.int32)]
+            ),
+            jnp.where(anti_valid, del_cols, n),
+            (store.anti_count,),
+        )[:t]
+        anti_count = store.anti_count + d_del
+        t_found = anti_valid  # each anti kills one live log edge
 
-    # 2. remaining deletions tombstone MAIN (w = 0) and go on the pending
-    #    log for the next compaction.
-    m_found, m_cand = _sorted_lookup(
-        store.rows, store.cols, del_rows, del_cols, n
-    )
-    main_del = m_found & ~t_found
+    # Remaining deletions tombstone MAIN (w = 0); ``w > 0`` is the only
+    # liveness record the compaction reads — no pending-delete log.
     ts = jnp.where(main_del, m_cand, cap)
     w = store.w.at[ts].set(0.0, mode="drop")
-    pd_add_rows = jnp.where(main_del, del_rows, n)
-    pd_add_cols = jnp.where(main_del, del_cols, n)
-    pd_rows = jax.lax.dynamic_update_slice(
-        jnp.concatenate([store.pd_rows, jnp.full((d_del,), n, jnp.int32)]),
-        pd_add_rows,
-        (store.pd_count,),
-    )[:t]
-    pd_cols = jax.lax.dynamic_update_slice(
-        jnp.concatenate([store.pd_cols, jnp.full((d_del,), n, jnp.int32)]),
-        pd_add_cols,
-        (store.pd_count,),
-    )[:t]
-    pd_count = store.pd_count + d_del
 
     n_del_live = jnp.sum((t_found | main_del).astype(jnp.int32))
     mid = LazyStore(
         rows=store.rows, cols=store.cols, w=w,
         tail_rows=tail_rows, tail_cols=tail_cols, tail_w=tail_w,
         tail_count=store.tail_count,
-        pd_rows=pd_rows, pd_cols=pd_cols, pd_count=pd_count,
+        anti_rows=anti_rows, anti_cols=anti_cols, anti_count=anti_count,
         num_edges=store.num_edges - n_del_live,
         num_nodes=n, weighted=store.weighted,
     )
@@ -328,7 +427,8 @@ def apply_delta_lazy(
         rows=mid.rows, cols=mid.cols, w=mid.w,
         tail_rows=tail_rows, tail_cols=tail_cols, tail_w=tail_w,
         tail_count=mid.tail_count + d_add,
-        pd_rows=mid.pd_rows, pd_cols=mid.pd_cols, pd_count=mid.pd_count,
+        anti_rows=mid.anti_rows, anti_cols=mid.anti_cols,
+        anti_count=mid.anti_count,
         num_edges=mid.num_edges + n_add_live,
         num_nodes=n, weighted=mid.weighted,
     )

@@ -261,19 +261,18 @@ def lazy_pair_from_edges(
 
 
 def apply_delta_lazy_pair(
-    pair: LazyPair, add_src, add_dst, del_src, del_dst, add_weights=None,
-    tail_kill: bool = True,
+    pair: LazyPair, add_src, add_dst, del_src, del_dst, add_weights=None
 ) -> LazyPair:
     from stgraph_tpu.graph.lazy_store import apply_delta_lazy
 
     return LazyPair(
         fwd=apply_delta_lazy(
             pair.fwd, add_dst, add_src, del_dst, del_src,
-            add_weights=add_weights, tail_kill=tail_kill,
+            add_weights=add_weights,
         ),
         bwd=apply_delta_lazy(
             pair.bwd, add_src, add_dst, del_src, del_dst,
-            add_weights=add_weights, tail_kill=tail_kill,
+            add_weights=add_weights,
         ),
     )
 
@@ -293,11 +292,16 @@ def _lazy_one_side(store, node_feat, n, interpret):
         main = out[:n, : node_feat.shape[1]]
     else:
         main = _jnp_spmm(rows, cols, w, node_feat, n)
-    t_gath = node_feat[jnp.minimum(store.tail_cols, n - 1)]
-    t_gath = t_gath * store.tail_w[:, None]
-    t_gath = jnp.where((store.tail_rows < n)[:, None], t_gath, 0.0)
+    # Tail + anti logs in ONE signed segment-sum: anti entries carry an
+    # implicit -1, cancelling the tail entry they delete (lazy_store.py).
+    t_rows = jnp.concatenate([store.tail_rows, store.anti_rows])
+    t_cols = jnp.concatenate([store.tail_cols, store.anti_cols])
+    t_w = jnp.concatenate([store.tail_w, store.anti_w()])
+    t_gath = node_feat[jnp.minimum(t_cols, n - 1)]
+    t_gath = t_gath * t_w[:, None]
+    t_gath = jnp.where((t_rows < n)[:, None], t_gath, 0.0)
     tail = jax.ops.segment_sum(
-        t_gath, jnp.minimum(store.tail_rows, n), num_segments=n + 1
+        t_gath, jnp.minimum(t_rows, n), num_segments=n + 1
     )[:n]
     return main + tail
 
@@ -352,11 +356,18 @@ def lazy_norm(pair: LazyPair, interpret: bool = False) -> jnp.ndarray:
     rows = _pad_flat(st.rows, cap_pad, n)
     w = _pad_flat(jnp.where(st.w > 0, 1.0, 0.0), cap_pad, 0.0)
     deg = dyn_degree(rows, w, n, interpret=interpret)
-    t_live = jnp.where(st.tail_rows < n, 1.0, 0.0) * jnp.where(
-        st.tail_w > 0, 1.0, 0.0
+    # Signed log counting: live tail entries count +1 (unweighted
+    # tail_w IS 1.0; weighted entries count 1 regardless of weight) and
+    # anti entries -1, cancelling the tail edge they delete.
+    t_cnt = (
+        jnp.where(st.tail_w > 0, 1.0, 0.0) if st.weighted else st.tail_w
     )
+    t_live = jnp.where(st.tail_rows < n, t_cnt, 0.0)
     deg = deg + jax.ops.segment_sum(
         t_live, jnp.minimum(st.tail_rows, n), num_segments=n + 1
+    )[:n]
+    deg = deg + jax.ops.segment_sum(
+        st.anti_w(), jnp.minimum(st.anti_rows, n), num_segments=n + 1
     )[:n]
     norm = jnp.where(deg > 0, jnp.power(jnp.maximum(deg, 1.0), -0.5), 1.0)
     return norm[:, None]

@@ -92,6 +92,11 @@ _SIDE = 128  # extra lane tile appended to each gather plane
 # mask/score fixed costs; VMEM cost is 2 slabs of (chunk, f_pad+128).
 _FLASH_CHUNK = EDGE_CHUNK
 
+# Bench-only knob (benchmarking/micro/flash_gat_bench.py): "A" or "B"
+# skips that backward pass (its outputs become zeros), so the pass's cost
+# is measured as full - skipped. Never set in production code.
+_SKIP_BWD_PASS = None
+
 
 def flash_supported(heads: int, f: int) -> bool:
     """Tiling constraints: whole head groups per 128-lane tile, and the
@@ -1008,7 +1013,9 @@ def flash_gat_attention(
         gu = (g2 / denom[:, :, None]).reshape(n, f_flat)
         c = jnp.sum(g2 * out.reshape(n, h, f), axis=-1) / denom  # (N, h)
 
-        if segmented:
+        if _SKIP_BWD_PASS == "A":
+            der = jnp.zeros((n, h), jnp.float32)
+        elif segmented:
             # der from the forward's aux aggregations — no pass A (module
             # docstring): der[d] = <gu[d], u[d]> - c[d]*p[d].
             der = (
@@ -1032,6 +1039,14 @@ def flash_gat_attention(
             der = der_p[:n, :h]
 
         # Pass B: transpose CSR -> d feat_src, dl.
+        if _SKIP_BWD_PASS == "B":
+            return (
+                jnp.zeros((n, h), el2_.dtype),
+                der.astype(er2_.dtype),
+                jnp.zeros_like(fs_),
+                jnp.zeros_like(qf_),
+                jnp.zeros_like(qt_),
+            )
         er_hi, er_lo = _hi_lo(er2_, bf16)
         m_hi, m_lo = _hi_lo(m, bf16)
         c_hi, c_lo = _hi_lo(c, bf16)

@@ -128,7 +128,7 @@ def test_compact_preserves_graph(rng):
             jnp.asarray(dl[:, 1]), jnp.asarray(dl[:, 0]),
         )
     c = compact(store)
-    assert int(c.tail_count) == 0 and int(c.pd_count) == 0
+    assert int(c.tail_count) == 0 and int(c.anti_count) == 0
     assert int(c.num_edges) == len(check)
     rows = np.asarray(c.rows)
     cols = np.asarray(c.cols)
@@ -232,6 +232,75 @@ def test_weight_update_via_del_add(rng):
     assert out[1, 0] == pytest.approx(5.0)  # new weight in effect
 
 
+def test_weighted_tail_resident_delete(rng):
+    """Weighted stores keep the in-place tail-kill path (a delete's
+    cancelled weight is unknowable without the lookup): add a weighted
+    edge, delete it before compaction, verify aggregation and counts."""
+    src = np.array([0, 1], np.int64)
+    dst = np.array([1, 2], np.int64)
+    store = lazy_from_edges(
+        src, dst, N, CAP, TCAP, weights=np.array([1.0, 2.0])
+    )
+    # Add (5 -> 6) w=7, then delete it while still tail-resident.
+    store = apply_delta_lazy(
+        store, jnp.asarray([6]), jnp.asarray([5]),
+        jnp.full((1,), N), jnp.full((1,), N),
+        add_weights=jnp.asarray([7.0]),
+    )
+    assert int(store.num_edges) == 3
+    store = apply_delta_lazy(
+        store, jnp.full((1,), N), jnp.full((1,), N),
+        jnp.asarray([6]), jnp.asarray([5]),
+        add_weights=jnp.asarray([1.0]),
+    )
+    assert int(store.num_edges) == 2
+    from stgraph_tpu.ops.dyn_spmm import _lazy_one_side
+
+    x = np.eye(N, 8, dtype=np.float32)
+    out = np.asarray(_lazy_one_side(store, jnp.asarray(x), N, False))
+    assert out[6].sum() == pytest.approx(0.0)  # killed in the tail
+    assert out[1, 0] == pytest.approx(1.0)
+    c = compact(store)
+    assert int(c.num_edges) == 2
+
+
+def test_anti_entry_depth(rng):
+    """Unweighted add/delete/re-add churn on ONE key inside the log
+    window: tail holds (+1, -1, +1, -1, ...) for the same key; both the
+    running aggregation and the compaction net must stay exact."""
+    src, dst = _random_graph(rng, e=16)
+    store = lazy_from_edges(src, dst, N, CAP, TCAP)
+    key_r, key_c = 7, 9  # not in the random graph with overwhelming odds
+    live = {int(s) * N + int(d) for s, d in zip(src, dst)}
+    assert 9 * N + 7 not in live
+    x = np.eye(N, dtype=np.float32)
+    from stgraph_tpu.ops.dyn_spmm import _lazy_one_side
+
+    e1 = jnp.full((1,), N, jnp.int32)
+    for i in range(4):  # add, del, add, del
+        if i % 2 == 0:
+            store = apply_delta_lazy(
+                store, jnp.asarray([key_r]), jnp.asarray([key_c]), e1, e1
+            )
+            expect = 17
+        else:
+            store = apply_delta_lazy(
+                store, e1, e1, jnp.asarray([key_r]), jnp.asarray([key_c])
+            )
+            expect = 16
+        assert int(store.num_edges) == expect
+        out = np.asarray(_lazy_one_side(store, jnp.asarray(x), N, False))
+        assert out[key_r, key_c] == pytest.approx(float(i % 2 == 0))
+    c = compact(store)
+    assert int(c.num_edges) == 16
+    rows, cols, w = np.asarray(c.rows), np.asarray(c.cols), np.asarray(c.w)
+    present = any(
+        rows[i] == key_r and cols[i] == key_c and w[i] > 0
+        for i in range(CAP)
+    )
+    assert not present
+
+
 def test_oversized_batch_raises(rng):
     """Batches larger than tail_capacity must fail loudly at trace time
     (advisor round 4: silent truncation of pending deletes)."""
@@ -258,8 +327,14 @@ def test_pair_deletes_actually_hit(rng):
     out = apply_delta_lazy_pair(pair, empty, empty, del_src, del_dst)
     assert int(out.fwd.num_edges) == 64 - k
     assert int(out.bwd.num_edges) == 64 - k
-    # Reversed keys (the bug shape) must NOT hit on a graph whose reverse
-    # edges are absent — num_edges stays put, proving order sensitivity.
+    # Correct keys tombstone the MAIN store (exact-key match) and survive
+    # compaction; reversed keys (the bug shape) name absent edges — an
+    # out-of-contract input the anti-entry design absorbs into the anti
+    # log, which compaction drops (net < 0 runs) while recomputing
+    # num_edges from the real live slots. Order sensitivity is pinned by
+    # the POST-COMPACTION counts: correct keys stay deleted, reversed
+    # keys heal back.
+    assert int(compact(out.fwd).num_edges) == 64 - k
     rev = apply_delta_lazy_pair(pair, empty, empty, del_dst, del_src)
-    fwd_hits = 64 - int(rev.fwd.num_edges)
+    fwd_hits = 64 - int(compact(rev.fwd).num_edges)
     assert fwd_hits <= 2  # only accidental symmetric edges may hit
