@@ -328,11 +328,21 @@ def bench_ogbn_step(scale=1.0, hidden=128):
     }
 
 
-def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=40, f=128):
-    """Dynamic-graph step at wiki-talk scale on the LAZY store (tombstone
-    + tail-log O(delta) updates, row-id-kernel aggregation) in one scan —
-    the flagship DTDG path — plus the structure-update rate alone.
-    ``steps=40`` keeps the scan well past the relay's ack pipeline."""
+def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=64,
+              f=128):
+    """Dynamic-graph step at wiki-talk scale on the LAZY store (anti-log
+    O(delta) updates, row-id-kernel aggregation) in one scan — the
+    flagship DTDG path — plus the structure-update rate alone.
+
+    Honesty notes (round 5): ``tail_capacity = 16*slide`` sets the
+    compaction cadence to ~16 steps per store (per-step cost is O(delta)
+    and does NOT scale with the tail — measured, docs/PERF.md round-5
+    dynamic section), and ``steps=64`` makes the window long enough
+    that the scan INCLUDES ~8 full compactions, so the published
+    per-step number carries the amortized term. Deletes are drawn from
+    a live-set simulation (contract: deletions name live edges);
+    batches use (src, dst) column order — the pair API's argument order
+    (advisor round 4: reversed order made every delete a silent no-op)."""
     import jax
     import jax.numpy as jnp
     from stgraph_tpu.ops.dyn_spmm import (
@@ -340,29 +350,24 @@ def bench_dyn(cap=2_200_000, nodes=1_100_000, slide=10_000, steps=40, f=128):
         lazy_pair_from_edges,
         lazy_spmm,
     )
+    from benchmarking.micro._workload import gen_delta_stream
 
     rng = np.random.default_rng(0)
-    e0 = cap - 280_000
+    tcap = 16 * slide
+    e0 = cap - tcap - 40_000
     keys = np.unique(
         rng.integers(0, nodes, e0 * 2).astype(np.int64) * nodes
         + rng.integers(0, nodes, e0 * 2)
     )[:e0]
     rows0 = (keys // nodes).astype(np.int32)
     cols0 = (keys % nodes).astype(np.int32)
-    adds = np.full((steps, slide, 2), nodes, np.int32)
-    dels = np.full((steps, slide, 2), nodes, np.int32)
-    # Both batches use (src, dst) column order — the pair API's argument
-    # order. The pair below is built with src=cols0, dst=rows0, so deletes
-    # must name (cols0, rows0) keys to actually hit (advisor round 4: the
-    # reversed order made every delete a silent no-op).
-    for t in range(steps):
-        sel = rng.choice(e0, slide, replace=False)
-        dels[t, :, 0] = cols0[sel]
-        dels[t, :, 1] = rows0[sel]
-        adds[t, :, 0] = rng.integers(0, nodes, slide)
-        adds[t, :, 1] = rng.integers(0, nodes, slide)
+    # The stream generator packs keys src-major; `keys` here is
+    # dst-major (rows = dst) — repack so delete batches come out in the
+    # pair API's (src, dst) order.
+    keys_sd = cols0.astype(np.int64) * nodes + rows0
+    adds, dels = gen_delta_stream(rng, keys_sd, nodes, steps, slide)
     pair0 = lazy_pair_from_edges(
-        cols0, rows0, nodes, capacity=cap, tail_capacity=16 * slide
+        cols0, rows0, nodes, capacity=cap, tail_capacity=tcap
     )
     feats = jax.device_put(
         rng.standard_normal((nodes, f)).astype(np.float32)

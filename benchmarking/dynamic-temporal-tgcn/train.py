@@ -298,6 +298,12 @@ def main() -> None:
                     hidden = model.apply(params, pair, x_t, hidden=hidden)
                     # Positive edges: the fwd store's main slots (w > 0 ==
                     # live) plus the tail log — static shapes throughout.
+                    # Unweighted caveat: a tail edge deleted via the ANTI
+                    # log (lazy_store.py) stays in this view until the
+                    # next compaction — the loss samples a slightly stale
+                    # positive set, which is harmless for link-prediction
+                    # training (weighted sets like England-COVID use the
+                    # in-place kill path and have no staleness).
                     st = pair.fwd
                     rows_f = jnp.concatenate([st.rows, st.tail_rows])
                     cols_f = jnp.concatenate([st.cols, st.tail_cols])

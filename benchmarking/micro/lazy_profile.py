@@ -37,7 +37,10 @@ def main() -> None:
     ap.add_argument("--nodes", type=int, default=1_100_000)
     ap.add_argument("--slide", type=int, default=10_000)
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--stages", type=str, default="all",
+                    help="comma list of bench names to run (default all)")
     args = ap.parse_args()
+    only = None if args.stages == "all" else set(args.stages.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -65,19 +68,21 @@ def main() -> None:
     )[:e0]
     rows0 = (keys // nodes).astype(np.int32)
     cols0 = (keys % nodes).astype(np.int32)
-    adds = np.full((steps, slide, 2), nodes, np.int32)
-    dels = np.full((steps, slide, 2), nodes, np.int32)
-    for t in range(steps):
-        sel = rng.choice(e0, slide, replace=False)
-        dels[t, :, 0] = cols0[sel]  # (src, dst) — the pair argument order
-        dels[t, :, 1] = rows0[sel]
-        adds[t, :, 0] = rng.integers(0, nodes, slide)
-        adds[t, :, 1] = rng.integers(0, nodes, slide)
+    # Live-set stream: deletes name live edges (the apply_delta contract;
+    # sampling from the ORIGINAL edge set names already-deleted keys
+    # ~20% of the time by step 40). keys are dst-major here; the stream
+    # generator packs src-major.
+    from benchmarking.micro._workload import gen_delta_stream
+
+    keys_sd = cols0.astype(np.int64) * nodes + rows0
+    adds, dels = gen_delta_stream(rng, keys_sd, nodes, steps, slide)
     adds_j, dels_j = jnp.asarray(adds), jnp.asarray(dels)
 
     results = {}
 
     def bench(name, fn, *fargs, per=1):
+        if only is not None and name not in only:
+            return 0.0
         jfn = jax.jit(fn)
         t0 = time.perf_counter()
         out = jfn(*fargs)
@@ -180,7 +185,14 @@ def main() -> None:
         tail_rows=jnp.asarray(tr), tail_cols=jnp.asarray(tc),
         tail_w=jnp.asarray(tw), tail_count=jnp.int32(fill),
     )
-    bench("compact_once", lambda s: compact(s).num_edges, store_full)
+    # Consume rows/cols/w, not just num_edges: the counts depend only on
+    # the keep masks, so a num_edges-only read lets XLA DCE the entire
+    # merge phase and the "standalone compact" time measures nothing.
+    bench(
+        "compact_once",
+        lambda s: (lambda c: jnp.sum(c.rows) + jnp.sum(c.w))(compact(s)),
+        store_full,
+    )
 
     # 3b. The same compaction INSIDE a scan, unconditionally chained —
     #     isolates whether the in-scan lax.cond(taken) overhead is the
@@ -200,7 +212,7 @@ def main() -> None:
     def run_cond_chain(s):
         def body(s, _):
             s2 = jax.lax.cond(
-                s.tail_count + slide > s.tail_capacity,
+                s.tail_count + slide >= s.tail_capacity,  # True: taken
                 compact,
                 lambda x: x,
                 s,
@@ -220,6 +232,215 @@ def main() -> None:
         return es[-1]
 
     bench("cond_chain8", run_cond_chain, store_full, per=8)
+
+    # 3d'. Program bisection: consume progressively more of compact's
+    #      outputs (XLA DCEs everything downstream of the consumed set)
+    #      — phase deltas on the REAL operands.
+    from stgraph_tpu.graph.lazy_store import (
+        _lexsort_rc as _lx,
+        _searchsorted_rc as _ss,
+    )
+
+    def _compact_upto(s, upto):
+        # Mirrors lazy_store.compact phase-for-phase (measurement probe).
+        nn = s.num_nodes
+        tt = s.tail_capacity
+        t2 = 2 * tt
+        capc = s.capacity
+        r_a = jnp.concatenate([s.tail_rows, s.anti_rows])
+        c_a = jnp.concatenate([s.tail_cols, s.anti_cols])
+        w_a = jnp.concatenate([s.tail_w, s.anti_w()])
+        o = _lx(r_a, c_a)
+        r, c, w = r_a[o], c_a[o], w_a[o]
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
+        )
+        rid = jnp.cumsum(first.astype(jnp.int32)) - 1
+        net = jax.ops.segment_sum(w, rid, num_segments=t2)[rid]
+        keep = first & (r < nn) & (net > 0)
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        pos = jnp.where(keep, rank, t2)
+        na_r = jnp.full((t2,), nn, jnp.int32).at[pos].set(
+            jnp.where(keep, r, nn), mode="drop")
+        na_c = jnp.full((t2,), nn, jnp.int32).at[pos].set(
+            jnp.where(keep, c, nn), mode="drop")
+        na_w = jnp.zeros((t2,), jnp.float32).at[pos].set(
+            jnp.where(keep, net, 0.0), mode="drop")
+        if upto == "pre":
+            return jnp.sum(na_r) + jnp.sum(na_w)
+        lm = s.w > 0
+        mrank = jnp.cumsum(lm.astype(jnp.int32)) - 1
+        mpos = jnp.where(lm, mrank, capc)
+        lm_r = jnp.full((capc,), nn, jnp.int32).at[mpos].set(
+            s.rows, mode="drop")
+        lm_c = jnp.full((capc,), nn, jnp.int32).at[mpos].set(
+            s.cols, mode="drop")
+        lm_w = jnp.zeros((capc,), jnp.float32).at[mpos].set(
+            s.w, mode="drop")
+        if upto == "live":
+            return (jnp.sum(na_r) + jnp.sum(na_w)
+                    + jnp.sum(lm_r) + jnp.sum(lm_w))
+        pp = _ss(lm_r, lm_c, na_r, na_c)
+        if upto == "bisect":
+            return (jnp.sum(na_r) + jnp.sum(lm_r) + jnp.sum(pp))
+        q = pp + jnp.arange(t2, dtype=jnp.int32)
+        L = capc + t2
+        i = jnp.arange(L, dtype=jnp.int32)
+        ind = jnp.zeros((L + 1,), jnp.int32).at[jnp.minimum(q + 1, L)].add(1)
+        tcum = jnp.cumsum(ind)[:L]
+        tcc = jnp.minimum(tcum, t2 - 1)
+        is_add = q[tcc] == i
+        sidx = jnp.minimum(jnp.maximum(i - tcum, 0), capc - 1)
+        m_rows = jnp.where(is_add, na_r[tcc], lm_r[sidx])[:capc]
+        m_cols = jnp.where(is_add, na_c[tcc], lm_c[sidx])[:capc]
+        m_w = jnp.where(is_add, na_w[tcc], lm_w[sidx])[:capc]
+        return jnp.sum(m_rows) + jnp.sum(m_cols) + jnp.sum(m_w)
+
+    from dataclasses import replace as _dc_rep
+
+    for phase in ("pre", "live", "bisect", "full"):
+        def run_phase(s, _phase=phase):
+            def body(carry, _):
+                # Thread the float carry through the weight arrays so the
+                # probe is NOT loop-invariant (XLA would hoist it and the
+                # 8-iteration scan would measure one execution). The
+                # 0.0*out chain survives because 0*NaN != 0 for floats.
+                s2 = _dc_rep(
+                    s, w=s.w + carry, tail_w=s.tail_w + carry
+                )
+                out = _compact_upto(s2, _phase)
+                return 0.0 * out.astype(jnp.float32), out
+
+            c2, _ = jax.lax.scan(
+                body, jnp.float32(0), None, length=8
+            )
+            return c2
+
+        bench(f"compact_upto_{phase}", run_phase, store_full, per=8)
+
+    # 3d. The same 8 chained compacts WITHOUT a scan (Python unroll):
+    #     separates "compact is slow in scan context" from "compact is
+    #     slow, and short standalone programs are mistimed by the relay".
+    def run_compact_unroll(s):
+        for _ in range(8):
+            s = compact(s)
+        return s.num_edges
+
+    bench("compact_unroll8", run_compact_unroll, store_full, per=8)
+
+    # 3e. Compact sub-ops, in scan (8 iters) — which one blows up?
+    t16 = 16 * slide
+
+    def run_argsort_scan(r, c):
+        def body(carry, _):
+            r, c = carry
+            o = jnp.argsort(c, stable=True)
+            o = o[jnp.argsort(r[o], stable=True)]
+            return (r.at[0].set(o[0]), c), o[-1]
+
+        _, os_ = jax.lax.scan(body, (r, c), None, length=8)
+        return os_[-1]
+
+    r2 = jnp.asarray(rng.integers(0, nodes, 2 * t16).astype(np.int32))
+    c2 = jnp.asarray(rng.integers(0, nodes, 2 * t16).astype(np.int32))
+    bench("argsort320k_scan", run_argsort_scan, r2, c2, per=8)
+
+    qr = jnp.asarray(rng.integers(0, nodes, 2 * t16).astype(np.int32))
+    qc = jnp.asarray(rng.integers(0, nodes, 2 * t16).astype(np.int32))
+
+    def run_bisect320k_scan(sr, sc, qr, qc):
+        def body(carry, _):
+            f, i1 = _sorted_lookup(sr, sc, qr + carry, qc, nodes)
+            return carry * 0 + i1[0] * 0, jnp.sum(i1)
+
+        _, os_ = jax.lax.scan(
+            body, jnp.int32(0), None, length=8
+        )
+        return os_[-1]
+
+    bench("bisect320k_scan", run_bisect320k_scan,
+          jnp.asarray(np.sort(rows0)),
+          jnp.asarray(cols0[np.argsort(rows0, kind="stable")]),
+          qr, qc, per=8)
+
+    def run_segsum_scan(r2, w2):
+        def body(carry, _):
+            s = jax.ops.segment_sum(w2 + carry, r2, num_segments=2 * t16)
+            return carry * 0 + s[0] * 0, s[-1]
+
+        _, os_ = jax.lax.scan(body, jnp.float32(0), None, length=8)
+        return os_[-1]
+
+    rid2 = jnp.asarray(rng.integers(0, 2 * t16, 2 * t16).astype(np.int32))
+    w2 = jnp.ones((2 * t16,), jnp.float32)
+    bench("segsum320k_scan", run_segsum_scan, rid2, w2, per=8)
+
+    # 3f. The merge/rank-select phase alone (ind scatter + L cumsum +
+    #     6 monotone gathers + wheres), on realistic operands, in scan.
+    t2b = 2 * t16
+    na_r_b = jnp.asarray(
+        np.sort(rng.integers(0, nodes, t2b)).astype(np.int32)
+    )
+    na_c_b = jnp.asarray(rng.integers(0, nodes, t2b).astype(np.int32))
+    na_w_b = jnp.ones((t2b,), jnp.float32)
+    lm_r_b = jnp.asarray(
+        np.pad(np.sort(rows0), (0, cap - e0), constant_values=nodes)
+    )
+    lm_c_b = jnp.asarray(
+        np.pad(cols0[np.argsort(rows0, kind="stable")], (0, cap - e0),
+               constant_values=nodes)
+    )
+    lm_w_b = jnp.ones((cap,), jnp.float32)
+    p_b = jnp.asarray(
+        np.searchsorted(np.sort(rows0), np.asarray(na_r_b)).astype(np.int32)
+    )
+
+    def run_merge_phase(na_r, na_c, na_w, lm_r, lm_c, lm_w, p):
+        L = cap + t2b
+        i = jnp.arange(L, dtype=jnp.int32)
+
+        def body(carry, _):
+            q = p + jnp.arange(t2b, dtype=jnp.int32) + carry
+            ind = (
+                jnp.zeros((L + 1,), jnp.int32)
+                .at[jnp.minimum(q + 1, L)]
+                .add(1)
+            )
+            tcum = jnp.cumsum(ind)[:L]
+            tcc = jnp.minimum(tcum, t2b - 1)
+            is_add = q[tcc] == i
+            sidx = jnp.minimum(jnp.maximum(i - tcum, 0), cap - 1)
+            m_rows = jnp.where(is_add, na_r[tcc], lm_r[sidx])[:cap]
+            m_w = jnp.where(is_add, na_w[tcc], lm_w[sidx])[:cap]
+            m_cols = jnp.where(is_add, na_c[tcc], lm_c[sidx])[:cap]
+            out = jnp.sum(m_rows) + jnp.sum(m_cols) + jnp.sum(m_w)
+            return carry * 0 + out.astype(jnp.int32) * 0, out
+
+        _, os_ = jax.lax.scan(body, jnp.int32(0), None, length=8)
+        return os_[-1]
+
+    bench("merge_phase_scan", run_merge_phase,
+          na_r_b, na_c_b, na_w_b, lm_r_b, lm_c_b, lm_w_b, p_b, per=8)
+
+    # Capacity-sized cumsum + scatter (live-compact phase) in scan.
+    def run_livecompact_scan(w_m, r_m):
+        def body(carry, _):
+            lm = (w_m + carry) > 0
+            rank = jnp.cumsum(lm.astype(jnp.int32)) - 1
+            out = (
+                jnp.full((cap,), nodes, jnp.int32)
+                .at[jnp.where(lm, rank, cap)]
+                .set(r_m, mode="drop")
+            )
+            return carry * 0 + out[0] * 0.0, out[-1]
+
+        _, os_ = jax.lax.scan(body, jnp.float32(0), None, length=8)
+        return os_[-1]
+
+    bench("livecompact_scan", run_livecompact_scan,
+          jnp.asarray(w_main), jnp.asarray(np.sort(rows0))[:cap] if cap <= e0
+          else jnp.asarray(np.pad(np.sort(rows0), (0, cap - e0))),
+          per=8)
 
     # 4. Bare scatter floor: 10k tombstone writes into (cap,) f32, chained
     #    in the same scan shape so dispatch amortizes identically.
@@ -257,6 +478,8 @@ def main() -> None:
     bench("bisect_main_10k", run_bisect, s_rows, s_cols, dels_j, per=steps)
 
     print(flush=True)
+    if only is not None:
+        return
     amort = results.get("compact_once", 0.0) * 2 * slide / (16 * slide)
     print(
         f"accounting: nocompact {results['pair_nocompact']*1e3:.1f} ms "

@@ -34,16 +34,12 @@ equivalent of that amortization, with static shapes:
     taken for unweighted stores; weighted stores keep the in-place
     tail-kill pass, whose cost only matters at log sizes no weighted
     workload here reaches.)
-  * when a log nears capacity, ONE ``lax.cond`` branch compacts: the
-    logs are PRE-COMBINED into net per-key weights (one O(tcap·log
-    tcap) sort — +1/-1 pairs cancel to net 0 and drop, survivors land
-    contiguous and SORTED), the main store is live-compacted (cumsum
-    over ``w > 0`` + scatter — dead slots vanish), and the two now
-    DISJOINT sorted sets are merged by bisecting the net adds into live
-    main and rank-placing both sides. No capacity-wide sort, no
-    delete-cancel pass, no giant 3-key delta lexsort — the amortized
-    O(cap) cost is two log-sized argsorts + two capacity cumsums + one
-    log-sized binary search.
+  * when a log nears capacity, ONE ``lax.cond`` branch compacts: main
+    (dead keys sentineled) + tail + anti are lexsorted together, signed
+    weights are segment-summed per equal-key run, and first-of-run
+    survivors (net > 0) are rank-scattered to the front — one
+    capacity-scale sort, measured FASTER than the gather-based
+    sorted-merge alternative on TPU (see ``compact``'s docstring).
 
 Per-step cost: one sorted lookup over d queries + two O(d) scatters +
 two O(d) appends — no capacity- or log-wide traffic at all outside the
@@ -186,34 +182,47 @@ def _sorted_lookup(s_rows, s_cols, q_rows, q_cols, n):
 def compact(store: LazyStore) -> LazyStore:
     """Merge the logs into the main store (the amortized O(cap) branch).
 
-    Three phases, none of which sorts at capacity scale:
+    ONE unified sort: concatenate main (dead slots — ``w == 0`` — get
+    their key set to the sentinel), tail, and anti entries; lexsort by
+    (row, col); segment-sum the signed weights over each equal-key run
+    (a live main edge contributes its weight, a tail add +w, an anti
+    delete -1 — an added-then-deleted edge nets to 0 and vanishes, a
+    re-add of a tombstoned key nets to the new weight); rank-scatter
+    first-of-run survivors (net > 0) to the front. The result is
+    exactly sorted, duplicate-free, sentinel-padded, all weights live.
 
-    1. PRE-COMBINE the tail+anti logs: one O(tcap·log tcap) lexsort of
-       the concatenated signed entries, a segment-sum of weights per
-       key run, and a rank-scatter of the survivors (net weight > 0) to
-       the front — yielding contiguous, SORTED, duplicate-free net adds
-       (an added-then-deleted edge nets to 0 and vanishes).
-    2. LIVE-COMPACT main: ``w > 0`` is the liveness record (tombstones
-       carry 0), so a cumsum + rank-scatter drops dead slots while
-       keeping sort order. No pending-delete log is needed.
-    3. MERGE: net adds are DISJOINT from live main (a re-added key's
-       main copy is dead; a new key was never there), so one binary
-       search of the (small) add list into live main gives each add's
-       slot, and a cumsum-based rank-select places both sides. The
-       merged store is exactly sorted, sentinel-padded, all weights
-       live.
+    Why brute-force sort and not a clever merge: a three-phase
+    pre-combine + live-compact + disjoint-sorted-merge (binary search +
+    cumsum rank-select) was built and measured at 605 ms at the
+    wiki-talk shape — the 21-pass bisect over capacity (183 ms) and the
+    6-gather merge assembly (375 ms) are gather-bound, and TPU random
+    gathers lose to bitonic sort networks at this scale (the round-2
+    finding, docs/PERF.md "Dynamic updates at wiki-talk scale"). The
+    unified sort is also ~60 lines simpler.
     """
     n = store.num_nodes
     t = store.tail_capacity
     cap = store.capacity
-    t2 = 2 * t
+    L = cap + 2 * t
 
-    # --- 1. pre-combine the logs into sorted net adds -------------------
-    r_a = jnp.concatenate([store.tail_rows, store.anti_rows])
-    c_a = jnp.concatenate([store.tail_cols, store.anti_cols])
-    w_a = jnp.concatenate([store.tail_w, store.anti_w()])
-    o = _lexsort_rc(r_a, c_a)
-    r, c, w = r_a[o], c_a[o], w_a[o]
+    dead = store.w <= 0
+    r_all = jnp.concatenate(
+        [
+            jnp.where(dead, n, store.rows),
+            store.tail_rows,
+            store.anti_rows,
+        ]
+    )
+    c_all = jnp.concatenate(
+        [
+            jnp.where(dead, n, store.cols),
+            store.tail_cols,
+            store.anti_cols,
+        ]
+    )
+    w_all = jnp.concatenate([store.w, store.tail_w, store.anti_w()])
+    o = _lexsort_rc(r_all, c_all)
+    r, c, w = r_all[o], c_all[o], w_all[o]
     first = jnp.concatenate(
         [
             jnp.ones((1,), jnp.bool_),
@@ -221,62 +230,21 @@ def compact(store: LazyStore) -> LazyStore:
         ]
     )
     rid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    net = jax.ops.segment_sum(w, rid, num_segments=t2)[rid]
+    net = jax.ops.segment_sum(w, rid, num_segments=L)[rid]
     keep = first & (r < n) & (net > 0)
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    pos = jnp.where(keep, rank, t2)  # non-kept scatter out of bounds
-    # Scatter-to-rank keeps sorted order; sentinel-init catches holes.
-    na_r = jnp.full((t2,), n, jnp.int32).at[pos].set(
-        jnp.where(keep, r, n), mode="drop"
-    )
-    na_c = jnp.full((t2,), n, jnp.int32).at[pos].set(
-        jnp.where(keep, c, n), mode="drop"
-    )
-    na_w = jnp.zeros((t2,), jnp.float32).at[pos].set(
-        jnp.where(keep, net, 0.0), mode="drop"
-    )
-    k_a = jnp.sum(keep.astype(jnp.int32))
-
-    # --- 2. live-compact main -------------------------------------------
-    lm = store.w > 0
-    mrank = jnp.cumsum(lm.astype(jnp.int32)) - 1
-    mpos = jnp.where(lm, mrank, cap)  # dead slots scatter out of bounds
-    lm_r = jnp.full((cap,), n, jnp.int32).at[mpos].set(
-        jnp.where(lm, store.rows, n), mode="drop"
-    )
-    lm_c = jnp.full((cap,), n, jnp.int32).at[mpos].set(
-        jnp.where(lm, store.cols, n), mode="drop"
-    )
-    lm_w = jnp.zeros((cap,), jnp.float32).at[mpos].set(
-        jnp.where(lm, store.w, 0.0), mode="drop"
-    )
-    k_m = jnp.sum(lm.astype(jnp.int32))
-
-    # --- 3. merge two disjoint sorted lists -----------------------------
-    # Right-bisect each add into live main (sentinel adds land at cap —
-    # past every real key — so their merged positions fall beyond the
-    # real prefix and are clipped by the [:cap] slice). q is strictly
-    # increasing over real adds; collisions between main- and add-side
-    # sentinels beyond the real prefix are harmless (both sides sentinel).
-    p = _searchsorted_rc(lm_r, lm_c, na_r, na_c)
-    q = p + jnp.arange(t2, dtype=jnp.int32)
-    L = cap + t2
-    i = jnp.arange(L, dtype=jnp.int32)
-    ind = jnp.zeros((L + 1,), jnp.int32).at[jnp.minimum(q + 1, L)].add(1)
-    tcum = jnp.cumsum(ind)[:L]
-    tc = jnp.minimum(tcum, t2 - 1)
-    is_add = q[tc] == i
-    sidx = jnp.minimum(jnp.maximum(i - tcum, 0), cap - 1)
-    m_rows = jnp.where(is_add, na_r[tc], lm_r[sidx])[:cap]
-    m_cols = jnp.where(is_add, na_c[tc], lm_c[sidx])[:cap]
-    m_w = jnp.where(is_add, na_w[tc], lm_w[sidx])[:cap]
-    pad = m_rows >= n
+    # Scatter-to-rank keeps sorted order; out-of-bounds drops non-kept
+    # entries (and, on a contract-violating overfull store, the excess).
+    pos = jnp.where(keep, rank, L)
+    rows = jnp.full((cap,), n, jnp.int32).at[pos].set(r, mode="drop")
+    cols = jnp.full((cap,), n, jnp.int32).at[pos].set(c, mode="drop")
+    wout = jnp.zeros((cap,), jnp.float32).at[pos].set(net, mode="drop")
     return LazyStore(
-        rows=jnp.where(pad, n, m_rows),
-        cols=jnp.where(pad, n, m_cols),
-        w=jnp.where(pad, 0.0, m_w),
+        rows=rows,
+        cols=cols,
+        w=wout,
         **_empty_logs(t, n),
-        num_edges=k_m + k_a,
+        num_edges=jnp.minimum(jnp.sum(keep.astype(jnp.int32)), cap),
         num_nodes=n,
         weighted=store.weighted,
     )
