@@ -20,27 +20,25 @@ transaction; docs/PERF.md). This module removes all of them:
     ROW-BLOCK inputs recovered per edge with a one-hot mask matmul. The
     min-0 clamp is exact for real edges (m is the exact max) and bounds
     the exp of out-of-block garbage positions the row masks discard.
-  * **Backward: hybrid der strategy (round 5, both legs measured).**
+  * **Backward: single edge pass (round 5, every stage measured).**
     The softmax VJP needs four reductions: d feat (by src), dl (by src),
     der (by dst), and the per-edge SDDMM ``dw = <fs[src], gu[dst]>``.
-    Pass B (transpose CSR, rows = src) always handles the src-grouped
-    pair over a fresh gather plane ``[gu | er | m | c]`` (hi/lo pairs).
-    For ``der`` (dst-grouped) there are two measured-equivalent routes
-    and each wins in its own regime:
+    Pass B (transpose CSR, rows = src) handles the src-grouped pair over
+    a fresh gather plane ``[gu | er | m | c]`` (hi/lo pairs) — measured
+    14.9 ms at E=2M. For ``der`` (dst-grouped) the FORWARD kernel
+    accumulates ``u[d] = Σ w·lp·q·fs[src]`` and ``p[d] = Σ w·lp`` (one
+    extra accumulator matmul + two den lanes, +3.6 ms measured) and der
+    distributes through the dot product::
 
-    - **non-segmented** (plane fits ``FLASH_MAX_PLANE_BYTES``): save the
-      forward plane and run pass A on the forward CSR — the re-read is a
-      SEQUENTIAL stream (~2.4 ms/2M edges at 627 GB/s), far cheaper than
-      a random re-gather;
-    - **segmented** (ogbn scale, the plane never exists whole): pass A
-      would re-GATHER every segment (~8.6 ms class), so instead the
-      FORWARD kernel accumulates ``u[d] = Σ w·lp·q·fs[src]`` and
-      ``p[d] = Σ w·lp`` (one extra accumulator matmul + two den lanes,
-      +3.6 ms measured) and der distributes through the dot product::
+        der[d] = Σ_e w·lp·(q·dw − c[d]) = <gu[d], u[d]> − c[d]·p[d]
 
-          der[d] = Σ_e w·lp·(q·dw − c[d]) = <gu[d], u[d]> − c[d]·p[d]
-
-      — node-table glue, no second edge pass, no saved plane.
+    — node-table glue, no second edge pass, no saved plane. (A hybrid
+    that kept a saved-plane backward pass A for the non-segmented case
+    was reverted in round 5: the bench that favored it consumed only
+    the feature gradient, letting XLA DCE pass A out of the measured
+    baseline; with all three gradients consumed pass A costs a measured
+    5.28 ms > the 3.6 ms forward aux, and dropping it frees the
+    ~1.5 GB saved-plane residual at E=2M.)
 
     No pass writes any per-edge tensor to HBM, so there is no
     read-modify-write dw plane and no (E, 8) permutation gathers either.
@@ -362,135 +360,6 @@ def _flash_fwd_kernel(
     den_ref[...] = den_acc[...]
     if bwd_aux:
         u_ref[...] = u_acc[...]
-
-
-def _flash_bwd_a_kernel(
-    astart_ref,
-    nchunks_ref,
-    bs_ref,
-    be_ref,
-    side_ref,  # (ROW_BLOCK, 3h) f32: [er | m | c]
-    gu_ref,  # (ROW_BLOCK, f_flat) sdt — dst-row cotangents
-    plane_ref,  # saved forward plane, HBM
-    *refs,  # [q_ref], der_ref, slab, der_acc, sem, [q_scr, q_sem]
-    h: int,
-    f: int,
-    f_flat: int,
-    n_ft: int,
-    slope: float,
-    ch: int,
-    dropped: bool = False,
-):
-    """Pass A (forward CSR, rows = destinations): der only.
-
-    Recomputes w exactly as the forward kernel, recovers each edge's
-    destination cotangent rows from the block (mask matmul), forms the
-    SDDMM dw and the softmax VJP ds0 in registers, and aggregates
-    ``der[d] = sum ds0`` — the one backward quantity grouped by
-    destination. Nothing per-edge is written. With dropout, ds0 becomes
-    ``w · (q·dw − c) · lp`` (c already absorbs q through the dropped out).
-    """
-    refs = list(refs)
-    q_ref = refs.pop(0) if dropped else None
-    der_ref, slab, der_acc, sem = refs[:4]
-    q_scr, q_sem = (refs[4], refs[5]) if dropped else (None, None)
-    rb = pl.program_id(0)
-    a0 = astart_ref[rb]
-    nck = nchunks_ref[rb]
-    sdt = slab.dtype
-    # TPU DEFAULT f32 matmuls run as ONE bf16 pass (~0.8% error —
-    # measured); the f32 stream exists for precision, so raise it.
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if sdt == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-
-    def dma(slot, i):
-        off = pl.multiple_of(a0 + i * ch, _ALIGN)
-        copies = [
-            pltpu.make_async_copy(
-                plane_ref.at[pl.ds(off, ch), :], slab.at[slot], sem.at[slot]
-            )
-        ]
-        if dropped:
-            copies.append(
-                pltpu.make_async_copy(
-                    q_ref.at[:, pl.ds(off, ch)], q_scr.at[slot],
-                    q_sem.at[slot],
-                )
-            )
-        return copies
-
-    @pl.when(nck > 0)
-    def _():
-        for d in dma(0, 0):
-            d.start()
-
-    der_acc[...] = jnp.zeros_like(der_acc)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, (ch, ROW_BLOCK), 0)
-    spreads = _spreads(h, f, n_ft)
-
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nck)
-        def _():
-            for d in dma(jax.lax.rem(i + 1, 2), i + 1):
-                d.start()
-
-        for d in dma(slot, i):
-            d.wait()
-        mb = _mask(bs_ref[0], be_ref[0], pos0, i * ch)  # (CHUNK, ROW_BLOCK)
-        m32 = mb.astype(jnp.float32)
-        msd = mb.astype(sdt)
-        sl = slab[slot]
-        el = sl[:, f_flat : f_flat + h].astype(jnp.float32) + sl[
-            :, f_flat + h : f_flat + 2 * h
-        ].astype(jnp.float32)
-        emc = jax.lax.dot_general(
-            m32,
-            side_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (CHUNK, 3h)
-        s = el + emc[:, :h]
-        lp = jnp.where(s >= 0, 1.0, slope)
-        s = jnp.where(s >= 0, s, slope * s)
-        w = jnp.exp(jnp.minimum(s - emc[:, h : 2 * h], 0.0))
-        # Combined across feature tiles (one recovery dot, one SDDMM dot).
-        spread_all = jnp.concatenate(spreads, axis=1)  # (h, f_flat)
-        gu_all = jax.lax.dot_general(
-            msd,
-            gu_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        ).astype(sdt)  # (CHUNK, f_flat) per-edge dst cotangents
-        prod = sl[:, :f_flat] * gu_all
-        dw = jax.lax.dot_general(
-            prod.astype(jnp.float32),
-            spread_all,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        if dropped:
-            dw = dw * _q_transpose(q_scr[slot], h, ch)
-        ds0 = w * (dw - emc[:, 2 * h :]) * lp
-        der_acc[:, :h] += jax.lax.dot_general(
-            m32,
-            ds0,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        return ()
-
-    jax.lax.fori_loop(0, nck, body, (), unroll=False)
-    der_ref[...] = der_acc[...]
-
 
 
 def _flash_bwd_b_kernel(
@@ -967,7 +836,7 @@ def flash_gat_attention(
         )
         n_out = (f_pad, _SIDE, f_pad) if need_aux else (f_pad, _SIDE)
         kw = {"bwd_aux": need_aux}
-        # need_aux is only ever requested in segmented mode (see fwd).
+        # need_aux is requested by the VJP fwd in BOTH modes (see fwd).
         if segmented:
             res = run_segmented(
                 _flash_fwd_kernel, meta, bs3, be3,
@@ -993,50 +862,36 @@ def flash_gat_attention(
         return out, m, denom, u, p, plane
 
     def fwd(el2_, er2_, fs_, qf_, qt_):
-        # Hybrid backward-der strategy (measured, docs/PERF.md round 5):
-        #   * non-segmented: SAVE the forward plane; backward pass A
-        #     re-reads it SEQUENTIALLY (~2.4 ms at 2M edges — a stream,
-        #     not a gather) and emits der. The forward stays lean (the
-        #     in-kernel u/p accumulation costs 3.6 ms, more than pass A).
-        #   * segmented (plane never materialized whole): pass A would
-        #     re-GATHER every segment (~8.6 ms class) — there the
-        #     forward-side aux aggregations win strictly, and der becomes
-        #     node-table glue: der = <gu, u> - c*p.
-        out, m, denom, u, p, plane = _fwd_parts(
-            el2_, er2_, fs_, qf_, need_aux=segmented
+        # Single-pass backward everywhere (measured, docs/PERF.md round
+        # 5): the forward kernel accumulates u = Σ w·lp·q·fs[src] and
+        # p = Σ w·lp (+3.6 ms), and der becomes node-table glue:
+        # der = <gu, u> - c·p — no backward pass A at all. A round-5
+        # hybrid briefly kept a saved-plane pass A for the non-segmented
+        # case, justified by a bench whose grad consumption let XLA DCE
+        # pass A out of the baseline; with all three gradients consumed,
+        # pass A measures 5.28 ms > the 3.6 ms forward aux cost, and
+        # dropping it also frees the (E, f+128) saved-plane residual
+        # (~1.5 GB at E=2M bf16).
+        out, m, denom, u, p, _ = _fwd_parts(
+            el2_, er2_, fs_, qf_, need_aux=True
         )
-        return out, (el2_, er2_, fs_, m, denom, out, u, p, plane, qf_, qt_)
+        return out, (el2_, er2_, fs_, m, denom, out, u, p, qf_, qt_)
 
     def bwd(res, g):
-        el2_, er2_, fs_, m, denom, out, u, p, plane, qf_, qt_ = res
+        el2_, er2_, fs_, m, denom, out, u, p, qf_, qt_ = res
         g2 = g.reshape(n, h, f)
         gu = (g2 / denom[:, :, None]).reshape(n, f_flat)
         c = jnp.sum(g2 * out.reshape(n, h, f), axis=-1) / denom  # (N, h)
 
         if _SKIP_BWD_PASS == "A":
             der = jnp.zeros((n, h), jnp.float32)
-        elif segmented:
-            # der from the forward's aux aggregations — no pass A (module
-            # docstring): der[d] = <gu[d], u[d]> - c[d]*p[d].
+        else:
+            # der from the forward's aux aggregations (module docstring):
+            # der[d] = <gu[d], u[d]> - c[d]*p[d].
             der = (
                 jnp.sum(gu.reshape(n, h, f) * u.reshape(n, h, f), axis=-1)
                 - c * p
             )
-        else:
-            # Pass A: forward CSR, saved-plane sequential re-read -> der.
-            sideA = _pad_rows(
-                jnp.concatenate([er2_, m, c], axis=1), meta.num_rows_padded
-            )
-            guA = _pad_rows(
-                jnp.pad(gu, ((0, 0), (0, f_pad - f_flat))).astype(sdt),
-                meta.num_rows_padded,
-            )
-            (der_p,) = run(
-                _flash_bwd_a_kernel, meta, bs3, be3,
-                [sideA, guA], [3 * h, f_pad], plane, (_SIDE,), {},
-                qstream=qf_ if dropped else None,
-            )
-            der = der_p[:n, :h]
 
         # Pass B: transpose CSR -> d feat_src, dl.
         if _SKIP_BWD_PASS == "B":
