@@ -528,8 +528,16 @@ def bench_gat_layer(n=100_000, e=2_000_000, heads=8, f_in=64, f_out=32):
                 return jnp.sum(conv.apply(p, g, x * carry) ** 2)
 
             grads = jax.grad(loss)(params)
-            leaf = jax.tree_util.tree_leaves(grads)[0]
-            c = 1.0 + 0.0 * jax.lax.stop_gradient(jnp.sum(leaf))
+            # Fold EVERY grad leaf into the carry: consuming only one
+            # lets XLA DCE the backward stages that feed the others
+            # (the flash-GAT bench shipped exactly that bug — the
+            # attn_r gradient's backward pass vanished from the timed
+            # program; docs/PERF.md round-5 GAT section).
+            tot = sum(
+                jnp.sum(l, dtype=jnp.float32)
+                for l in jax.tree_util.tree_leaves(grads)
+            )
+            c = 1.0 + 0.0 * jax.lax.stop_gradient(tot)
             return c.astype(jnp.float32), ()
 
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
@@ -618,16 +626,17 @@ def main():
         print(f"spmm bench failed: {exc}", file=sys.stderr)
     try:
         ga = bench_gat_layer()
-        # fwd+bwd HBM floor model: 3 gather-plane passes (fwd, bwd A read,
-        # bwd B gather) of (E, H*F + side) + node tables — count the plane
-        # traffic only (dominant term).
+        # fwd+bwd HBM floor model: 2 gather-plane passes (fwd, bwd B;
+        # the single-pass backward has no pass A — docs/PERF.md round-5
+        # GAT section) of (E, H*F + side), each built (write) then
+        # kernel-read — 4 plane traversals total.
         plane_bytes = 2_000_000 * (256 + 128) * 2  # bf16 stream
         emit(
             "gat_fwd_bwd_edges_per_s", ga["gat_edges_per_s"],
             "edges/s/chip",
             gat_fwd_bwd_s=ga["gat_fwd_bwd_s"],
             fraction_of_hbm_peak=round(
-                5 * plane_bytes / ga["gat_fwd_bwd_s"] / 1e9
+                4 * plane_bytes / ga["gat_fwd_bwd_s"] / 1e9
                 / _HBM_PRACTICAL_GBPS,
                 3,
             ),

@@ -60,8 +60,16 @@ def build(
             _, idx = np.unique(keys, return_index=True)
             current = current[np.sort(idx)]
         edge_index[str(t)] = current.tolist()
+        # STABLE per-key weights: an edge keeps its weight across the
+        # snapshots it survives (a key-derived hash, not a fresh draw —
+        # re-randomizing every timestamp turns EVERY edge into a
+        # delete+add weight-update delta, which inflates the staged
+        # delta arrays to all-edges size and, through them, the delta
+        # stores' capacity: measured as a 31.7 GB scan program at the
+        # 200k-edge wiki shape).
+        k = current[:, 0] * np.int64(2654435761) + current[:, 1]
         weights[str(t)] = np.round(
-            rng.random(len(current)).astype(float), 4
+            (k % 1000).astype(float) / 1999.0 + 0.5, 4
         ).tolist()
 
     return {

@@ -204,8 +204,29 @@ def main() -> None:
                 else np.asarray(init_store.weights)
             )
             live = rows0 < G.get_num_nodes()
-            d_batch = int(staged_add.shape[1])
-            tcap = max(8 * d_batch, 128)
+            # The staged arrays are padded to the LARGEST batch across
+            # ALL timestamps — which includes t=0's establish-the-graph
+            # batch (the whole edge set). The scanned window starts at
+            # `lags`, where real deltas are small; sizing the tail logs
+            # from the padded width inflates tail_capacity to edge-set
+            # scale and the scan's residuals with it (measured: a
+            # 31.7 GB program at a 200k-edge graph). Trim the (front-
+            # packed) batches to the window's real maximum instead.
+            n_sent = G.get_num_nodes()
+            # Count on device, read back ONE scalar (pulling the bool
+            # plane host-side would ride the pathological d2h tunnel).
+            w_real = int(
+                jnp.maximum(
+                    (staged_add[:, :, 0] < n_sent).sum(axis=1).max(),
+                    (staged_del[:, :, 0] < n_sent).sum(axis=1).max(),
+                )
+            )
+            w_real = min(max(w_real, 16), staged_add.shape[1])
+            staged_add = staged_add[:, :w_real]
+            staged_del = staged_del[:, :w_real]
+            if staged_add_w is not None:
+                staged_add_w = staged_add_w[:, :w_real]
+            tcap = max(8 * w_real, 128)
             init_lazy = lazy_pair_from_edges(
                 cols0[live], rows0[live], G.get_num_nodes(),
                 capacity=G._capacity + tcap,

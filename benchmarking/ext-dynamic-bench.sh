@@ -21,7 +21,7 @@ for slide in 2 4 6 8 10; do
     python3 dataset/preprocessing.py --synthetic 4000 --synthetic-nodes 500 \
       --base 400 --percent-change "$slide" --out "$f"
   fi
-  for type in naive delta delta-scan pma-scan; do
+  for type in naive delta delta-scan pma-scan lazy-scan; do
     python3 dynamic-temporal-tgcn/train.py --dataset "$f" --type "$type" \
       --num_epochs "$EPOCHS" --feat_size 8 --num_hidden 16 $EXTRA \
       > "results/dynamic-temporal/stgraph_${type}_synthsnap_Twhole_S${slide}_H16_F8.txt" 2>&1 \
@@ -37,7 +37,7 @@ if [ ! -f "$f" ]; then
 fi
 for feat in $(seq 8 8 32); do
   h=$((feat * 2))
-  for type in delta-scan pma-scan; do
+  for type in delta-scan pma-scan lazy-scan; do
     python3 dynamic-temporal-tgcn/train.py --dataset "$f" --type "$type" \
       --num_epochs "$EPOCHS" --feat_size "$feat" --num_hidden "$h" $EXTRA \
       > "results/dynamic-temporal/stgraph_${type}_synthsnap_Twhole_S5_H${h}_F${feat}.txt" 2>&1 \

@@ -242,7 +242,11 @@ def main() -> None:
     )
 
     def _compact_upto(s, upto):
-        # Mirrors lazy_store.compact phase-for-phase (measurement probe).
+        # Mirrors the round-5 MERGE-based compact prototype phase-for-
+        # phase (pre-combine -> live-compact -> bisect -> rank-select).
+        # That design measured 605 ms here and was REPLACED by the
+        # unified-sort compact now in lazy_store.py (218 ms); this probe
+        # is kept as the measured record of the losing alternative.
         nn = s.num_nodes
         tt = s.tail_capacity
         t2 = 2 * tt
