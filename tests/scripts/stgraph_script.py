@@ -251,6 +251,62 @@ def run_dynamic_pack() -> list:
         _log(f"dynamic_{kind}", losses)
         assert all(l == l for l in losses), f"dynamic {kind} NaN"
         out.append({"pack": f"dynamic_{kind}", "first": losses[0], "last": losses[-1]})
+
+    # Lazy pair: the flagship O(delta) store driven through the SAME
+    # TGCN loop — per-timestep apply_delta_lazy_pair from the staged
+    # deltas (unweighted, so the anti-entry delete path is exercised),
+    # aggregation through GCNConv's LazyPair routing.
+    from stgraph_tpu.ops.dyn_spmm import (
+        apply_delta_lazy_pair,
+        lazy_pair_from_edges,
+    )
+
+    Gd = DeltaGraph(edge_lists)
+    sa, sd = Gd.staged_deltas()
+    tcap = int(sa.shape[1])
+    empty = np.empty((0,), np.int64)
+    pair0 = lazy_pair_from_edges(
+        empty, empty, n, capacity=Gd._capacity + tcap, tail_capacity=tcap
+    )
+    model = TGCN(feats.shape[-1], 8)
+    head = fnn.Dense(1)
+    params = jax.jit(lambda k, f: model.init(k, Gd.get_graph(0), f))(
+        jax.random.key(0), feats[0]
+    )
+    hp = jax.jit(head.init)(jax.random.key(1), jnp.zeros((n, 8)))
+    opt = optax.adam(1e-2)
+    opt_state = jax.jit(opt.init)((params, hp))
+
+    def lazy_epoch(ps, s):
+        def loss_fn(ps):
+            params, hp = ps
+            hidden = jnp.zeros((n, 8))
+            pair = pair0
+            tot = 0.0
+            for t in range(t_total):
+                pair = apply_delta_lazy_pair(
+                    pair, sa[t][:, 0], sa[t][:, 1], sd[t][:, 0], sd[t][:, 1]
+                )
+                hidden = model.apply(params, pair, feats[t], hidden=hidden)
+                y_hat = head.apply(hp, hidden)[:, 0]
+                tot = tot + jnp.mean((y_hat - ys[t]) ** 2)
+            return tot / t_total
+
+        loss, grads = jax.value_and_grad(loss_fn)(ps)
+        u, s = opt.update(grads, s)
+        return optax.apply_updates(ps, u), s, loss
+
+    lazy_epoch = jax.jit(lazy_epoch)
+    ps = (params, hp)
+    losses = []
+    for _ in range(3):
+        ps, opt_state, loss = lazy_epoch(ps, opt_state)
+        losses.append(float(loss))
+    _log("dynamic_lazy", losses)
+    assert all(l == l for l in losses), "dynamic lazy NaN"
+    out.append(
+        {"pack": "dynamic_lazy", "first": losses[0], "last": losses[-1]}
+    )
     return out
 
 

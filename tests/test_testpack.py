@@ -28,5 +28,8 @@ def test_dynamic_pack_naive_delta_agree():
     rs = stgraph_script.run_dynamic_pack()
     by = {r["pack"]: r for r in rs}
     # Same data, same model: the delta-replayed graphs must reproduce the
-    # naive per-snapshot CSRs' training trajectory.
+    # naive per-snapshot CSRs' training trajectory — and so must the lazy
+    # pair (anti-entry store through GCNConv's LazyPair routing; the
+    # slightly looser tolerance covers its different aggregation order).
     assert abs(by["dynamic_naive"]["last"] - by["dynamic_delta"]["last"]) < 1e-4
+    assert abs(by["dynamic_naive"]["last"] - by["dynamic_lazy"]["last"]) < 1e-3
