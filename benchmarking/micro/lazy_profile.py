@@ -1,18 +1,25 @@
-"""Where do the lazy store's per-step 69 ms go? (round-4 verdict ask #2)
+"""Lazy-store update-cost decomposition (round-5 verdict ask #2).
 
-Decomposes ``apply_delta_lazy_pair`` at the bench.py dyn shape (cap 2.2M,
-N=1.1M, slide 10k adds + 10k dels, dual stores) into separately-jitted
-measurements that must explain the total:
+This harness drove the round-5 redesign, in three measured steps
+(docs/PERF.md round-5 dynamic section):
 
-  * ``pair_step``      — the full per-step update (bench.py's metric);
-  * ``pair_nocompact`` — the same with ``tail_capacity`` raised so NO
-    compaction fires inside the window: the pure per-step cost
-    (bisects + scatters + log appends);
-  * ``compact_once``   — one ``compact()`` on a full-log store, the
-    amortized term (fires every ~tcap/slide steps on each store);
-  * ``scatter_10k``    — a bare 10k-index scatter into a (cap,) f32
-    array inside the same scan shape: the tombstone write's floor;
-  * ``bisect_10k``     — the two sorted lookups alone (main + tail).
+1. the round-4 69 ms step was 52% tail-kill pass (``step_nokill``
+   ablation; per-step cost scaled with tail_capacity, not delta) —
+   replaced by the anti-entry log;
+2. the remaining amortized compaction was program-bisected
+   (``compact_upto_*`` probes: the merge design's bisect and
+   rank-select gather phases cost 183 + 375 ms on real operands) —
+   replaced by the unified sort compact (218 ms);
+3. final steady state: ``pair_step`` 15.9 ms (1.26M updates/s) with
+   in-scan compactions, ``pair_nocompact`` 4.9 ms floor.
+
+Probes (run a subset with ``--stages name,name``): pair_step /
+step_weighted (legacy kill path) / pair_tcap{40k,640k} /
+pair_nocompact / compact_once / compact_chain8 / cond_chain8 /
+compact_unroll8 / compact_upto_{pre,live,bisect,full} (the REPLACED
+merge design, kept as the measured record of the losing alternative) /
+argsort320k_scan / bisect320k_scan / segsum320k_scan /
+merge_phase_scan / livecompact_scan / scatter_10k / bisect_main_10k.
 
 Usage: python benchmarking/micro/lazy_profile.py [--cap 2200000]
 """
